@@ -1,0 +1,152 @@
+"""Doc-id (pageId) assignment.
+
+The reference allocates ids serially: ``getSeed(rank)`` probes DOWNWARD
+from the requested rank to the first free id and throws when it reaches
+below zero (/root/reference/src/memory-storage.ts:101-106,
+/root/reference/src/binary-file-storage.ts:240-244). Because posting lists
+are kept sorted by id, pageId doubles as the global rank ("lower page id
+means better page rank", reference README.md:106-108).
+
+Two modes:
+
+- :func:`allocate_reference_ids` — exact reproduction of the serial probe
+  semantics. The probe is order-dependent (doc i's id depends on ids of all
+  docs that arrived before it), i.e. inherently sequential, so it runs on
+  the driver over just the ``(arrival, rank)`` pairs using a union-find
+  "next free at or below" structure (O(α) per doc, ~16 bytes/doc; fine to
+  ~10^8 docs). Used for rank-parity with the reference test fixtures.
+
+- :func:`with_global_sequence` — the scale path (BASELINE.json input_hint:
+  ``rank = row_number() over (order by conv_id, turn_idx)``). Collision-free
+  dense ids from a total order, computed WITHOUT a single-partition window:
+  range-repartition on the sort keys, count per partition (tiny driver
+  collect), then per-partition offset + local enumeration via mapInPandas.
+  The result depends only on the total order, not on the partition count —
+  identical output at local[8] and local[32] (asserted in tests), and at
+  1000 executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def allocate_reference_ids(ranks: Sequence[int]) -> list[int]:
+    """Exact serial-probe allocation: for each requested rank in arrival
+    order, return the largest free id <= rank; raise when it goes below 0
+    (message parity with memory-storage.ts:104)."""
+    # union-find with path compression: parent[i] = candidate free id <= i
+    parent: dict[int, int] = {}
+
+    def find_free(i: int) -> int:
+        path = []
+        while i in parent:
+            path.append(i)
+            i = parent[i]
+        for p in path:
+            parent[p] = i
+        return i
+
+    out: list[int] = []
+    for rank in ranks:
+        free = find_free(rank)
+        if free < 0:
+            raise ValueError("Rank <= 0")
+        out.append(free)
+        parent[free] = free - 1
+    return out
+
+
+def with_reference_ids(
+    df: DataFrame, rank_col: str = "rank", arrival_cols: Sequence[str] = ("arrival",)
+) -> DataFrame:
+    """Attach ``doc_id`` reproducing the reference's serial allocator.
+
+    ``arrival_cols`` define the insertion order (the reference inserts one
+    doc at a time; demo.ts:139-144 uses arrival count as rank). Only the
+    (arrival, rank) pairs are collected to the driver — see module
+    docstring for why and for the scale-path alternative.
+    """
+    pairs = (
+        df.select(*arrival_cols, rank_col)
+        .orderBy(*arrival_cols)
+        .collect()
+    )
+    ids = allocate_reference_ids([row[rank_col] for row in pairs])
+    spark = df.sparkSession
+    mapping = spark.createDataFrame(
+        [
+            tuple(row[c] for c in arrival_cols) + (doc_id,)
+            for row, doc_id in zip(pairs, ids)
+        ],
+        schema=T.StructType(
+            list(df.select(*arrival_cols).schema.fields)
+            + [T.StructField("doc_id", T.LongType(), False)]
+        ),
+    )
+    return df.join(F.broadcast(mapping), on=list(arrival_cols), how="inner")
+
+
+def with_global_sequence(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "doc_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a dense global sequence (``start``-based) over the total order
+    given by ``order_cols`` — the distributed row_number.
+
+    Two passes over a persisted range-partitioned frame:
+    1. count rows per range partition (collects one small row per partition)
+    2. mapInPandas enumerates each partition locally and adds its offset
+
+    No global shuffle to one partition, no skew: ranges are balanced by
+    Spark's range partitioner sampling.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    sizes = {
+        row["_pid"]: row["n"]
+        for row in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    # build a fresh StructType — StructType.add would mutate the frame's
+    # cached schema in place and desync it from the JVM plan
+    out_schema = T.StructType(
+        list(part.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def enumerate_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.assign(
+                **{out_col: range(base + seen, base + seen + len(pdf))}
+            )
+            seen += len(pdf)
+            yield pdf
+
+    result = part.mapInPandas(enumerate_partition, schema=out_schema).drop("_pid")
+    return result

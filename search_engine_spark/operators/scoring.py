@@ -1,0 +1,117 @@
+"""Reference heuristic scoring (Q8-Q10), quirk-faithful.
+
+Re-expresses ``scorePages`` (/root/reference/src/engine.ts:158-243) as an
+Arrow-batched pandas UDF over the (<=100-row) candidate set — the reference
+likewise scores only the post-intersection candidates, fetching each page.
+
+Quirks deliberately reproduced for rank-identity (SURVEY.md §7.4):
+
+1. ``urlMatch`` builds its regex from the STRING ``'(?![\\w\\d])'`` where
+   ``\\w``/``\\d`` are not string escapes, so the effective pattern is
+   ``(?![wd])word(?![wd])`` with the 'i' flag — the lookaheads reject the
+   letters w/W/d/D themselves (engine.ts:200-202, the `// prettier-ignore`
+   line).
+2. Title "match" counting is query-position alignment: query word i matches
+   iff the FIRST occurrence of that word in the page's full token stream
+   equals i (title tokens come first because pages index
+   ``title + ' ' + text``, engine.ts:54,174-179).
+3. ``pos`` uses case-sensitive ``indexOf`` of the raw query word against
+   LOWERCASED title tokens (capitalized query words never position-match),
+   and JS default ``.sort()`` — lexicographic, so [2,10] sorts to [10,2]
+   (engine.ts:186-189).
+4. Score 0 for every page when no scoreWeights are configured
+   (engine.ts:211-213); ties always break by ascending doc id
+   (engine.ts:238 — "lower pages is better").
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import ScoreWeights
+from ..functions.tokenizer import tokenize
+
+
+def score_page(
+    query_words: Sequence[str],
+    weights: Optional[ScoreWeights],
+    title: str,
+    url: str,
+    page_words: Sequence[str],
+) -> float:
+    """Score one page exactly like ``getScore`` (engine.ts:211-223).
+
+    ``query_words`` is the stop-word-filtered query word list in original
+    case (``wordsWithoutStopWords``, engine.ts:109-111,138).
+    """
+    if weights is None:
+        return 0.0
+
+    # first occurrence of each lowercased token in the page stream
+    first_occ: dict[str, int] = {}
+    for i, w in enumerate(page_words):
+        lw = w.lower()
+        if lw not in first_occ:
+            first_occ[lw] = i
+
+    matches = sum(
+        1
+        for i, w in enumerate(query_words)
+        if first_occ.get(w.lower()) == i
+    )
+
+    title_words = tokenize(title, lower_case=True).words
+    exact = matches == len(title_words)
+    begins = matches > 0
+    # quirk 3: case-sensitive indexOf + lexicographic sort
+    pos_list = sorted(
+        (title_words.index(w) for w in query_words if w in title_words),
+        key=str,
+    )
+    pos = pos_list[0] if pos_list else None
+
+    score = 0.0
+    if exact:
+        score += weights.title_exact_match
+    elif begins:
+        score += weights.title_begins
+    elif pos is not None and pos < 3:
+        score += weights.title_contains_in_beginning
+
+    # quirk 1: the effective (buggy) url pattern, case-insensitive
+    n_match = sum(
+        1
+        for w in query_words
+        if re.search("(?![wd])" + w + "(?![wd])", url, re.IGNORECASE)
+    )
+    if n_match >= len(query_words):
+        score += weights.url_contains
+    return score
+
+
+def make_score_udf(query_words: Sequence[str], weights: Optional[ScoreWeights]):
+    """Arrow-batched UDF ``(title, url, words) -> double`` closing over the
+    parsed query. Candidates are <=100 rows (intersection cap,
+    engine.ts:134), so one batch."""
+    qw = list(query_words)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(
+        batches: Iterator[tuple[pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        for title, url, words in batches:
+            yield pd.Series(
+                [
+                    score_page(qw, weights, t, u, list(w))
+                    for t, u, w in zip(title, url, words)
+                ],
+                dtype="float64",
+            )
+
+    return _score

@@ -1,0 +1,191 @@
+"""Query engine facade: reference-parity conjunctive/phrase search (Q1-Q17)
+plus BM25 entry points.
+
+Query lifecycle parity with /root/reference/src/engine.ts:105-151:
+
+1. parse query (driver-side, tiny) — words + quote pairs; stop-filter a
+   copy for posting lookups (engine.ts:106-111)
+2. candidate generation = the k-way sorted intersection (engine.ts:391-431)
+   re-expressed declaratively: postings filtered to the query terms,
+   grouped by doc, count == n_terms. Posting lists are unique per
+   (term, doc) by construction (per-page dedup at add time,
+   engine.ts:65-77), so plain count works and the reference's uniqueArr
+   (engine.ts:380-382) is a no-op.
+3. phrase predicate (engine.ts:117-125, 250-284): positions of the quoted
+   words shifted by -i and intersected — pure Column expressions
+   (transform + array_intersect), JVM-side.
+4. the intersection cap: the reference always caps candidates at 100
+   (engine.ts:134 hardcodes maxCount=100 regardless of the search() arg) —
+   after the phrase predicate for multi-word queries; the single-word fast
+   path takes the first 100 postings and SKIPS the quote predicate
+   (engine.ts:398-404, quirk kept for parity).
+5. fetch pages for candidates only (<=100 ids pushed down to the parquet
+   scan — the analogue of the reference's per-candidate page fetch), score
+   (scoring.py), sort score desc / doc_id asc (engine.ts:234-241), slice
+   maxCount, build snippets (snippets.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import EngineConfig
+from ..functions.tokenizer import is_stop_word, tokenize
+from .scoring import make_score_udf
+from .snippets import make_introduction_udf
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("introduction", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+INTERSECT_CAP = 100  # engine.ts:134
+
+
+class SearchEngine:
+    """Read-side engine over an index directory built by
+    :func:`..operators.index_build.build_index`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        config: EngineConfig = EngineConfig(),
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.config = config
+        self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.term_positions = spark.read.parquet(
+            os.path.join(index_dir, "term_positions")
+        )
+        with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
+            self.corpus_stats = json.load(fh)
+
+    # -- Q16 ---------------------------------------------------------------
+    def count(self) -> int:
+        """Page count (memory-storage.ts:108-110)."""
+        return int(self.corpus_stats["n_docs"])
+
+    # -- Q1-Q15 ------------------------------------------------------------
+    def search(self, text: str, max_count: int = 100) -> DataFrame:
+        """Reference-parity free-text search. Returns an ordered DataFrame
+        (doc_id, score, title, introduction, url), best first."""
+        words, quotes = tokenize(text)
+        lookup = [
+            w for w in words if not is_stop_word(w, self.config.stop_words)
+        ]
+        if not lookup:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+        terms = sorted({w.lower() for w in lookup})
+        p = self.postings.select("doc_id", F.lower(F.col("term")).alias("term"))
+        p = p.filter(F.col("term").isin(terms))
+
+        if len(lookup) == 1:
+            # single-list fast path: first 100 postings, quote predicate
+            # SKIPPED (engine.ts:398-404)
+            cand = p.select("doc_id")
+        else:
+            cand = (
+                p.groupBy("doc_id")
+                .agg(F.count("*").alias("n_terms"))
+                .filter(F.col("n_terms") == len(terms))
+                .select("doc_id")
+            )
+            if quotes:
+                cand = self._phrase_filter(cand, words, quotes)
+        cand = cand.orderBy("doc_id").limit(INTERSECT_CAP)
+
+        # fetch-after-intersection: <=100 ids, pushed down to the docs scan
+        ids = [r["doc_id"] for r in cand.collect()]
+        if not ids:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        pages = self.docs.filter(F.col("doc_id").isin(ids)).select(
+            "doc_id", "title", "url", "words"
+        )
+
+        if self.config.score_weights is not None:
+            score_udf = make_score_udf(lookup, self.config.score_weights)
+            pages = pages.withColumn(
+                "score", score_udf("title", "url", "words")
+            )
+        else:
+            pages = pages.withColumn("score", F.lit(0.0))
+
+        topk = pages.orderBy(F.desc("score"), F.asc("doc_id")).limit(max_count)
+        intro = make_introduction_udf(words, quotes)
+        return (
+            topk.withColumn("introduction", intro("words"))
+            .select("doc_id", "score", "title", "introduction", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _phrase_filter(
+        self, cand: DataFrame, words: Sequence[str], quotes: Sequence[int]
+    ) -> DataFrame:
+        """Keep candidates where at least one quoted phrase occurs
+        (isQuoteOnPage, engine.ts:117-125). Pure Column expressions over
+        the positional index — shift word i's positions by -i, fold
+        array_intersect, non-empty means adjacent (engine.ts:267-284)."""
+        pairs: list[list[str]] = []
+        qterms: set[str] = set()
+        for i in range(0, len(quotes), 2):
+            end = quotes[i + 1] if i + 1 < len(quotes) else None
+            qw = list(words[quotes[i]:end])
+            pairs.append(qw)
+            qterms.update(w.lower() for w in qw)
+
+        tp = self.term_positions.filter(F.col("term").isin(sorted(qterms)))
+        tp = tp.join(cand, "doc_id")
+        posmap = tp.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pos")
+        )
+
+        pred = F.lit(False)
+        for qw in pairs:
+            pred = pred | _adjacency_expr(F.col("pos"), qw)
+        return posmap.filter(pred).select("doc_id")
+
+    # -- BM25 (scale path; see bm25.py / wand.py) ---------------------------
+    def search_bm25(self, text: str, k: int = 10, conjunctive: bool = False,
+                    use_wand: bool = False) -> DataFrame:
+        from .bm25 import bm25_topk
+        from .wand import wand_topk
+
+        if use_wand:
+            return wand_topk(self, text, k=k)
+        return bm25_topk(self, text, k=k, conjunctive=conjunctive)
+
+
+def _adjacency_expr(map_col, quoted_words: Sequence[str]):
+    """size(fold(array_intersect, shift(positions_i, -i))) > 0."""
+    if not quoted_words:
+        return F.lit(False)
+    empty = F.array().cast("array<int>")
+
+    def shift(arr, offset: int):
+        # NB: a two-arg lambda would be treated as (element, index) by
+        # F.transform — keep it single-arg and close over the offset
+        return F.transform(arr, lambda x: x - F.lit(offset))
+
+    shifted = [
+        shift(F.coalesce(map_col[F.lit(w.lower())], empty), i)
+        for i, w in enumerate(quoted_words)
+    ]
+    return F.size(reduce(F.array_intersect, shifted)) > 0

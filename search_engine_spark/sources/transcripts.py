@@ -1,0 +1,105 @@
+"""Transcript sources and adapters.
+
+The engine's canonical input (BASELINE.json input_hint) is a table of
+multi-turn conversation / agent transcripts:
+
+    (conv_id:string, turn_idx:int32, role:string, text:string,
+     tool:string, ts:timestamp)
+
+A reference "page" corresponds to one turn:
+
+- ``url``   <-> ``conv_id || '#' || turn_idx``  (the unique doc key;
+  reference urlToPage map, memory-storage.ts:38-42)
+- ``title`` <-> ``role || ':' || coalesce(tool, '')``
+- ``rank``  <-> stable global turn order
+  ``row_number() over (order by conv_id, turn_idx)``
+
+:func:`corpus_from_transcripts` converts transcripts to the engine's
+*corpus* shape ``(url, title, text, ...order cols)``; the index builder
+operates on a corpus so that reference-parity fixtures (which carry
+explicit titles/urls/ranks) use the same code path.
+
+:func:`synthesize_transcripts` builds a deterministic transcripts table
+from the driver-provided ``documents.parquet`` (TESTDATA.md) — no external
+data, fully seeded by doc_id arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+TRANSCRIPT_ORDER = ("conv_id", "turn_idx")
+
+
+def corpus_from_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Map transcript turns to the engine's corpus shape.
+
+    Keeps the transcript sort keys so doc-id assignment can use the stable
+    total order (input_hint: per-turn text equality under stable
+    (conv_id, turn_idx) ordering).
+    """
+    return transcripts.select(
+        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).alias("url"),
+        F.concat_ws(
+            ":", F.col("role"), F.coalesce(F.col("tool"), F.lit(""))
+        ).alias("title"),
+        F.col("text"),
+        "conv_id",
+        "turn_idx",
+        "ts",
+    )
+
+
+def synthesize_transcripts(
+    spark: SparkSession,
+    documents_path: str,
+    turns_per_conv: int = 8,
+    words_per_turn: int = 40,
+) -> DataFrame:
+    """Deterministically expand ``documents.parquet`` rows into multi-turn
+    transcripts. Pure column arithmetic (no randomness, no driver loops):
+
+    - each document becomes one turn; conversations group
+      ``turns_per_conv`` consecutive doc_ids
+    - turn text = a word-window of the document text (keeps per-turn text
+      equality trivially checkable against the source)
+    - role cycles user/assistant/tool; tool set on tool turns
+    - ts = fixed epoch + doc_id minutes (deterministic)
+    """
+    docs = spark.read.parquet(documents_path)
+    words = F.split(F.col("text"), " ")
+    turn_text = F.concat_ws(
+        " ", F.slice(words, 1, words_per_turn)
+    )
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") / turns_per_conv).cast("long")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") % turns_per_conv).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        turn_text.alias("text"),
+        F.when(role == "tool", F.concat(F.lit("tool_"), F.col("source"))).alias(
+            "tool"
+        ),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("ts"),
+    )
