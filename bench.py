@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract).
+
+Builds the inverted index over transcripts synthesized from
+``$SPARK_GRAFT_SF_DIR/documents.parquet`` on ``local[$SPARK_GRAFT_CPUS]``,
+runs the headline query suite against the persisted index, and prints ONE
+JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ...}
+
+Extra detail (throughput, p95 latency, corpus size) rides inside the JSON.
+Works both as a plain script and under ``spark-submit --py-files``.
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_REPLICATE,
+BENCH_SEGMENTS, BENCH_QUERY_REPS, BENCH_MASTER.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from search_engine_spark.config import DEMO_STOP_WORDS, EngineConfig, ScoreWeights
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.search import SearchEngine
+from search_engine_spark.session import get_spark
+from search_engine_spark.sources.transcripts import (
+    corpus_from_transcripts,
+    synthesize_transcripts,
+)
+
+HEADLINE_QUERIES = {
+    # reference-parity path (conjunctive AND, scored, snippets)
+    "search_conjunctive": lambda e: e.search("window merge", max_count=10),
+    # phrase + extra word (the reference's published phrase benchmark shape)
+    "search_phrase": lambda e: e.search('"table scan" merge', max_count=10),
+    # BM25 disjunctive top-10 (scale path)
+    "bm25_topk": lambda e: e.search_bm25("filter join window", k=10),
+    # BM25 conjunctive
+    "bm25_conjunctive": lambda e: e.search_bm25(
+        "filter join window", k=10, conjunctive=True
+    ),
+}
+
+
+def run(master: str | None = None, sf_dir: str | None = None,
+        out_dir: str | None = None) -> dict:
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("BENCH_MASTER", f"local[{cpus}]")
+    replicate = int(os.environ.get("BENCH_REPLICATE", "8"))
+    segments = int(os.environ.get("BENCH_SEGMENTS", "4"))
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "5"))
+
+    spark = get_spark(master=master)
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights())
+
+    index_dir = out_dir or tempfile.mkdtemp(prefix="bench_idx_")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.time()
+    tx = synthesize_transcripts(
+        spark, f"{sf_dir}/documents.parquet", replicate=replicate
+    )
+    corpus = corpus_from_transcripts(tx)
+    result = build_index(
+        spark, corpus, index_dir, config=cfg, segments=segments
+    )
+    build_sec = time.time() - t0
+
+    engine = SearchEngine(spark, index_dir, config=cfg)
+    timings: dict[str, float] = {"index_build": round(build_sec, 3)}
+    lat_ms: dict[str, dict] = {}
+    for name, fn in HEADLINE_QUERIES.items():
+        samples = []
+        for _ in range(reps):
+            tq = time.time()
+            fn(engine).collect()
+            samples.append(time.time() - tq)
+        samples.sort()
+        timings[name] = round(statistics.median(samples), 3)
+        lat_ms[name] = {
+            "p50_ms": round(1000 * statistics.median(samples), 1),
+            "p95_ms": round(1000 * samples[max(0, int(len(samples) * 0.95) - 1)], 1),
+            "best_ms": round(1000 * samples[0], 1),
+        }
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + top-k query suite (persisted index)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "detail": {
+            "master": master,
+            "n_turns": result.n_docs,
+            "n_postings": result.n_postings,
+            "build_turns_per_sec": round(result.n_docs / max(build_sec, 1e-9), 1),
+            "latency": lat_ms,
+            "replicate": replicate,
+            "segments": segments,
+        },
+    }
+    if out_dir is None:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,633 @@
+"""Self-contained corpus operators over the driver's ``documents`` /
+``embeddings`` tables, each with a DuckDB-oracle SQL twin.
+
+These re-express the engine's operator inventory (SURVEY.md §2) plus the
+training-data pipeline operators (dedup, similarity, text analysis) as
+single declarative DataFrame programs over the raw parquet — no persisted
+index — so the driver can verify them against ANSI SQL on the same files.
+The persisted-index path is exercised by tests/bench; semantics here are
+identical.
+
+Every computed column is aliased identically in the Spark plan and the SQL
+string; floats are rounded explicitly on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEMO_STOP_WORDS
+from ..functions.tokenizer import duckdb_tokenize_sql, tokenize_expr
+
+# shared constants between Spark impls and oracle SQL
+CONJ_TERMS = ["filter", "join", "window"]
+SINGLE_TERM = "merge"
+PHRASE = ("table", "scan")
+BM25_K1, BM25_B = 1.2, 0.75
+MINHASH_SEEDS = [1, 2, 3, 4]
+SHINGLE_N = 3
+JACCARD_MIN = 0.2
+SIMHASH_BITS = 16
+STOP_LIST = sorted(DEMO_STOP_WORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) with lowercased engine tokens."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", tokenize_expr(F.col("text"), lower_case=True).alias("toks")
+    )
+
+
+_TOKS_SQL = duckdb_tokenize_sql("text", lower_case=True)
+
+
+# --------------------------------------------------------------------------
+# B1/B3 tokenize + Q16 count
+# --------------------------------------------------------------------------
+
+def q_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens_df(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+
+
+SQL_TOKENIZE_COUNT = f"""
+SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+
+
+SQL_DOC_COUNT = "SELECT count(*) AS n_docs FROM documents"
+
+
+# --------------------------------------------------------------------------
+# B5/B9 posting construction: document frequency (one posting per doc/term)
+# --------------------------------------------------------------------------
+
+def q_term_df_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    return (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+SQL_TERM_DF_TOP50 = f"""
+SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+) GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3 conjunctive AND + Q4 single-term + Q12 top-k by doc order
+# --------------------------------------------------------------------------
+
+def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    exploded = toks.select("doc_id", F.explode("toks").alias("term"))
+    return (
+        exploded.filter(F.col("term").isin(CONJ_TERMS))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(CONJ_TERMS))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+_terms_in = ", ".join(f"'{t}'" for t in CONJ_TERMS)
+SQL_CONJUNCTIVE_SEARCH = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, count(*) AS n_terms FROM (
+    SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  ) WHERE term IN ({_terms_in}) GROUP BY doc_id
+) WHERE n_terms = {len(CONJ_TERMS)} ORDER BY doc_id LIMIT 100
+"""
+
+
+def q_single_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    return (
+        toks.filter(F.array_contains("toks", SINGLE_TERM))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+SQL_SINGLE_TERM_TOPK = f"""
+SELECT doc_id FROM documents
+WHERE list_contains({_TOKS_SQL}, '{SINGLE_TERM}')
+ORDER BY doc_id LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5/Q6 phrase adjacency (positional index + shifted intersection)
+# --------------------------------------------------------------------------
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True positional-operator implementation: per-doc positions of the
+    two phrase words, second shifted by -1, array_intersect non-empty
+    (engine.ts:267-284 semantics)."""
+    docs = _docs(spark, sf_dir).filter(~F.col("text").contains('"'))
+    toks = docs.select(
+        "doc_id", tokenize_expr(F.col("text"), lower_case=True).alias("toks")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).filter(F.col("term").isin(list(PHRASE)))
+    agg = pos.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("term") == PHRASE[0], F.col("pos")))
+        ).alias("p0"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("term") == PHRASE[1], F.col("pos")))
+        ).alias("p1"),
+    )
+    shifted = F.transform(F.col("p1"), lambda x: x - F.lit(1))
+    return (
+        agg.filter(F.size(F.array_intersect(F.col("p0"), shifted)) > 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# oracle: token adjacency == regex adjacency on the whitespace-normalized
+# text for this tokenizer (guarded on quote-free text; synthetic docs are)
+SQL_PHRASE_SEARCH = f"""
+SELECT doc_id FROM documents
+WHERE NOT contains(text, '"')
+  AND regexp_matches(
+        regexp_replace(lower(text), '[^a-z0-9_åäö" \t\n]', ' ', 'g'),
+        '(^|[ ]){PHRASE[0]}[ ]+{PHRASE[1]}([ ]|$)')
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 (full pipeline: tf, df, dl, avgdl, idf, score)
+# --------------------------------------------------------------------------
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    toks = toks.withColumn("dl", F.size("toks"))
+    n_docs = toks.count()
+    avgdl_row = toks.agg(F.avg("dl").alias("a")).first()
+    avgdl = float(avgdl_row["a"])
+
+    tf = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(CONJ_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    j = tf.join(F.broadcast(df_stats), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * F.col("tf").cast("double")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        j.select("doc_id", "term", score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ),
+                6,
+            ).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+
+
+def q_bm25_scores_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_scores(spark, sf_dir).orderBy("doc_id")
+
+
+_SQL_BM25_CORE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), docs_dl AS (
+  SELECT doc_id, len(t) AS dl, t FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs_dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM (
+    SELECT doc_id, dl, unnest(t) AS term FROM docs_dl
+  ) WHERE term IN ({_terms_in}) GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl))
+           AS s
+  FROM tf, dfs, stats WHERE tf.term = dfs.term
+), per_doc AS (
+  SELECT doc_id, round(sum(s ORDER BY term), 6) AS score,
+         count(*) AS n_terms
+  FROM scored GROUP BY doc_id
+)
+"""
+
+SQL_BM25_SCORES_ALL = _SQL_BM25_CORE + "SELECT doc_id, score, n_terms FROM per_doc ORDER BY doc_id"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+SQL_BM25_TOPK = _SQL_BM25_CORE + (
+    "SELECT doc_id, score, n_terms FROM per_doc "
+    "ORDER BY score DESC, doc_id ASC LIMIT 100"
+)
+
+
+# --------------------------------------------------------------------------
+# sorts / limits
+# --------------------------------------------------------------------------
+
+def q_top_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_tokenize_count(spark, sf_dir)
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_TOP_LONGEST = f"""
+SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: exact + prefix-fingerprint groups
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+        .orderBy("text_hash")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+"""
+
+
+def q_dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    prefix = F.concat_ws(" ", F.slice("toks", 1, 8))
+    return (
+        toks.groupBy(F.md5(prefix).alias("prefix_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+        .orderBy("prefix_hash")
+    )
+
+
+SQL_DEDUP_PREFIX_GROUPS = f"""
+SELECT md5(array_to_string(({_TOKS_SQL})[1:8], ' ')) AS prefix_hash,
+       count(*) AS n, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix_hash
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis: quality metrics + per-language stats
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        tokenize_expr(F.col("text"), lower_case=True).alias("toks"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOP_LIST])
+    n_tokens = F.size("toks")
+    n_stop = F.size(
+        F.filter(F.col("toks"), lambda t: F.array_contains(stop_arr, t))
+    )
+    n_distinct = F.size(F.array_distinct("toks"))
+    return toks.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_stop / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            n_distinct / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+_stop_in = ", ".join(f"'{s}'" for s in STOP_LIST)
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(len(list_filter(toks, x -> x IN ({_stop_in})))
+             / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio,
+       round(len(list_distinct(toks))
+             / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS distinct_ratio
+FROM t
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "lang", tokenize_expr(F.col("text")).alias("toks")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.size("toks")), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_LANG_STATS = f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(len({_TOKS_SQL})), 6) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + shingle-Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+
+def _hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash from md5 hex — identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles(toks: Column) -> Column:
+    """Distinct 3-token shingles, space-joined."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (SHINGLE_N - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)))
+    return F.array_distinct(sh)
+
+
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, len({_TOKS_SQL}) - {SHINGLE_N - 2}),"
+    f" i -> array_to_string(({_TOKS_SQL})[i:i+{SHINGLE_N - 1}], ' ')))"
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir).filter(F.size("toks") >= SHINGLE_N)
+    sh = toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
+    aggs = [
+        F.min(_hash64(F.concat_ws("|", F.lit(str(seed)), F.col("sh")))).alias(
+            f"mh{seed}"
+        )
+        for seed in MINHASH_SEEDS
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+_mh_cols = ",\n       ".join(
+    f"min(('0x' || substr(md5('{seed}' || '|' || sh), 1, 15))::BIGINT) AS mh{seed}"
+    for seed in MINHASH_SEEDS
+)
+SQL_MINHASH_SIGNATURES = f"""
+SELECT doc_id, {_mh_cols}
+FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+      WHERE len({_TOKS_SQL}) >= {SHINGLE_N})
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by shingle Jaccard — the classic
+    shingle->inverted-list->pair-count plan (no all-pairs product)."""
+    toks = _tokens_df(spark, sf_dir).filter(F.size("toks") >= SHINGLE_N)
+    sh = toks.select(
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+    return jac.orderBy("doc_a", "doc_b")
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+  WHERE len({_TOKS_SQL}) >= {SHINGLE_N}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= {JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit) document fingerprint
+# --------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    t = toks.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    ).withColumn("h", _hash64(F.col("term")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = t.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+_bit_sums_sql = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_bit_join_sql = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+SQL_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM (
+    SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  )
+), sums AS (
+  SELECT doc_id, {_bit_sums_sql} FROM t GROUP BY doc_id
+)
+SELECT doc_id, CAST({_bit_join_sql} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search: brute-force cosine vs a query vector
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("q"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("e", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    sim = F.round(dot / (norm(F.col("e")) * norm(F.col("q"))), 4)
+    return (
+        joined.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))), 4)
+         AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# transcripts synthesis invariant (input_hint per-turn text equality)
+# --------------------------------------------------------------------------
+
+def q_transcripts_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.transcripts import synthesize_transcripts
+
+    tx = synthesize_transcripts(spark, f"{sf_dir}/documents.parquet")
+    return tx.select("conv_id", "turn_idx", "role", "text", "tool").orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+SQL_TRANSCRIPTS_SYNTH = """
+SELECT 'conv-' || CAST(doc_id // 8 AS BIGINT) AS conv_id,
+       CAST(doc_id % 8 AS INT) AS turn_idx,
+       CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       array_to_string((string_split(text, ' '))[1:40], ' ') AS text,
+       CASE WHEN doc_id % 3 = 2 THEN 'tool_' || source END AS tool
+FROM documents ORDER BY conv_id, turn_idx
+"""
+
+
+QUERIES = {
+    "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
+    "doc_count": (q_doc_count, SQL_DOC_COUNT),
+    "term_df_top50": (q_term_df_top50, SQL_TERM_DF_TOP50),
+    "conjunctive_search": (q_conjunctive_search, SQL_CONJUNCTIVE_SEARCH),
+    "single_term_topk": (q_single_term_topk, SQL_SINGLE_TERM_TOPK),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "bm25_scores_all": (q_bm25_scores_all, SQL_BM25_SCORES_ALL),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "top_longest": (q_top_longest, SQL_TOP_LONGEST),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_prefix_groups": (q_dedup_prefix_groups, SQL_DEDUP_PREFIX_GROUPS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_stats": (q_lang_stats, SQL_LANG_STATS),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "transcripts_synth": (q_transcripts_synth, SQL_TRANSCRIPTS_SYNTH),
+}

@@ -68,6 +68,7 @@ def synthesize_transcripts(
     documents_path: str,
     turns_per_conv: int = 8,
     words_per_turn: int = 40,
+    replicate: int = 1,
 ) -> DataFrame:
     """Deterministically expand ``documents.parquet`` rows into multi-turn
     transcripts. Pure column arithmetic (no randomness, no driver loops):
@@ -80,6 +81,15 @@ def synthesize_transcripts(
     - ts = fixed epoch + doc_id minutes (deterministic)
     """
     docs = spark.read.parquet(documents_path)
+    if replicate > 1:
+        # deterministic corpus scale-up for throughput benchmarks: each
+        # replica is a distinct conversation namespace
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn(
+            "doc_id",
+            (F.col("rep").cast("long") * (1 << 33)) + F.col("doc_id"),
+        )
     words = F.split(F.col("text"), " ")
     turn_text = F.concat_ws(
         " ", F.slice(words, 1, words_per_turn)
@@ -100,6 +110,6 @@ def synthesize_transcripts(
         ),
         (
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_interval(mins=F.col("doc_id").cast("int"))
+            + F.make_interval(mins=(F.col("doc_id") % 1000000).cast("int"))
         ).alias("ts"),
     )
