@@ -169,7 +169,7 @@ class SearchEngine:
         from .wand import wand_topk
 
         if use_wand:
-            return wand_topk(self, text, k=k)
+            return wand_topk(self, text, k=k, conjunctive=conjunctive)
         return bm25_topk(self, text, k=k, conjunctive=conjunctive)
 
 

@@ -1,0 +1,62 @@
+"""Block-max WAND must be rank- AND score-identical to exhaustive BM25.
+
+The reference's analogous guarantee is its top-k early exit returning the
+same pages a full scan would (/root/reference/src/engine.ts:391-431); here
+the exhaustive DataFrame BM25 (bm25.py) is the oracle and the pruned path
+(wand.py) must match it exactly on a real 500-doc corpus.
+"""
+
+import pytest
+
+from search_engine_spark.config import DEMO_STOP_WORDS, EngineConfig
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.search import SearchEngine
+from search_engine_spark.sources.transcripts import (
+    corpus_from_transcripts,
+    synthesize_transcripts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "filter join window",
+    "table scan merge",
+    "spark",
+    "customer batch stream hash",
+    "the small query",  # 'the' is a stop word in DEMO_STOP_WORDS
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_engine(spark, tmp_path_factory):
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS)
+    idx = tmp_path_factory.mktemp("wand_idx")
+    tx = synthesize_transcripts(spark, f"{SF_DIR}/documents.parquet")
+    build_index(
+        spark, corpus_from_transcripts(tx), str(idx), config=cfg, segments=2
+    )
+    return SearchEngine(spark, str(idx), config=cfg)
+
+
+def rows(df):
+    return [(r["doc_id"], round(r["score"], 9), r["n_terms"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_matches_exhaustive_disjunctive(corpus_engine, query):
+    exact = rows(corpus_engine.search_bm25(query, k=10))
+    pruned = rows(corpus_engine.search_bm25(query, k=10, use_wand=True))
+    assert pruned == exact
+
+
+@pytest.mark.parametrize("query", QUERIES[:3])
+def test_wand_matches_exhaustive_conjunctive(corpus_engine, query):
+    exact = rows(corpus_engine.search_bm25(query, k=10, conjunctive=True))
+    pruned = rows(
+        corpus_engine.search_bm25(query, k=10, conjunctive=True, use_wand=True)
+    )
+    assert pruned == exact
+
+
+def test_wand_empty_query(corpus_engine):
+    assert corpus_engine.search_bm25("the", k=10, use_wand=True).count() == 0
