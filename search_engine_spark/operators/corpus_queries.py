@@ -611,6 +611,261 @@ FROM documents ORDER BY conv_id, turn_idx
 """
 
 
+# --------------------------------------------------------------------------
+# MinHash-LSH banding: signature bands -> bucket join -> candidate pairs
+# --------------------------------------------------------------------------
+
+# 4 minhash values -> 2 bands of 2 rows each (classic banding: a pair is a
+# candidate iff it collides in at least one band)
+LSH_BANDS = [(MINHASH_SEEDS[0], MINHASH_SEEDS[1]),
+             (MINHASH_SEEDS[2], MINHASH_SEEDS[3])]
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding over the MinHash
+    signatures — the scale path for dedup: no all-pairs join, only
+    equi-joins on band buckets."""
+    sigs = q_minhash_signatures(spark, sf_dir)
+    bands = [
+        sigs.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(bi)), F.col(f"mh{s1}"), F.col(f"mh{s2}")
+                )
+            ).alias("bucket"),
+        )
+        for bi, (s1, s2) in enumerate(LSH_BANDS)
+    ]
+    allb = bands[0].unionAll(bands[1])
+    a, b = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_sigs_core = f"""
+sigs AS (
+  SELECT doc_id, {_mh_cols}
+  FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+        WHERE len({_TOKS_SQL}) >= {SHINGLE_N})
+  GROUP BY doc_id
+)"""
+_band_selects = " UNION ALL ".join(
+    f"SELECT doc_id, md5('{bi}' || '|' || mh{s1} || '|' || mh{s2}) AS bucket FROM sigs"
+    for bi, (s1, s2) in enumerate(LSH_BANDS)
+)
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_sigs_core},
+bands AS ({_band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN: random-hyperplane LSH bucket + within-bucket cosine top-k
+# --------------------------------------------------------------------------
+
+# 4 planes -> 16 buckets: sized so the test corpora (hundreds of vectors)
+# keep ~N/16 candidates per bucket; at 100 TB you'd raise planes with corpus
+# size (buckets ~ N / desired candidate-set size) and partition by bucket
+ANN_PLANES = 4
+EMB_DIM = 64
+
+
+def _plane_signs(j: int) -> list[float]:
+    """Deterministic ±1 hyperplane components from md5 — identical
+    literals are embedded in the oracle SQL."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for d in range(EMB_DIM)
+    ]
+
+
+def _dot_lit(e: Column, signs: list[float]) -> Column:
+    lit_arr = F.array(*[F.lit(s) for s in signs])
+    return F.aggregate(
+        F.zip_with(e, lit_arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours for vec_id=0: hash every vector to a
+    signed-hyperplane bucket (8 bits), then exact cosine only within the
+    query's bucket. At scale the bucket column is a partition key — the
+    candidate scan is pruned to ~1/2^8 of the table and the query side is
+    a broadcast."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucket = None
+    for j in range(ANN_PLANES):
+        bit = F.when(_dot_lit(F.col("e"), _plane_signs(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    emb = emb.withColumn("bucket", bucket.cast("int"))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).join(
+        F.broadcast(qv), F.col("bucket") == F.col("qbucket")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sim = F.round(dot / (norm(F.col("e")) * norm(F.col("q"))), 4)
+    return (
+        cand.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _signs_sql(j: int) -> str:
+    return "[" + ", ".join(str(s) for s in _plane_signs(j)) + "]"
+
+
+_bucket_sql = " + ".join(
+    f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_signs_sql(j)}) > 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j in range(ANN_PLANES)
+)
+SQL_ANN_LSH_COSINE = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ({_bucket_sql}) AS bucket
+  FROM embeddings
+), q AS (SELECT e AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4)
+         AS cos_sim
+FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# token counting: whitespace (tokenize_count above) + BPE-ish regex
+# --------------------------------------------------------------------------
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+         AS n_distinct_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting: mod-p selection over shingle hashes (winnowing
+# family — "hash-breaking" fingerprints)
+# --------------------------------------------------------------------------
+
+FP_MOD = 8
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir).filter(F.size("toks") >= SHINGLE_N)
+    sh = toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
+    h = _hash64(F.col("sh"))
+    kept = sh.select("doc_id", h.alias("h")).filter(F.col("h") % FP_MOD == 0)
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fp"), F.min("h").alias("min_fp"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, count(*) AS n_fp, min(h) AS min_fp FROM (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+    WHERE len({_TOKS_SQL}) >= {SHINGLE_N}
+  )
+) WHERE h % {FP_MOD} = 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# conversation analytics: window functions over synthesized transcripts
+# --------------------------------------------------------------------------
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.transcripts import synthesize_transcripts
+
+    tx = synthesize_transcripts(spark, f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts_s = F.col("ts").cast("long")
+    g = tx.withColumn("gap_s", ts_s - F.lag(ts_s).over(w))
+    return (
+        g.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias(
+                "n_user"
+            ),
+            F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+SQL_CONV_STATS = """
+WITH tx AS (
+  SELECT 'conv-' || CAST(doc_id // 8 AS BIGINT) AS conv_id,
+         CAST(doc_id % 8 AS INT) AS turn_idx,
+         CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         epoch(TIMESTAMP '2024-01-01 00:00:00'
+               + ((doc_id % 1000000) * INTERVAL 1 MINUTE)) AS ts_s
+  FROM documents
+), g AS (
+  SELECT conv_id, role,
+         ts_s - lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+  FROM tx
+)
+SELECT conv_id, count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       round(avg(gap_s), 6) AS avg_gap_s
+FROM g GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
     "doc_count": (q_doc_count, SQL_DOC_COUNT),
@@ -630,4 +885,17 @@ QUERIES = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "transcripts_synth": (q_transcripts_synth, SQL_TRANSCRIPTS_SYNTH),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "ann_lsh_cosine": (q_ann_lsh_cosine, SQL_ANN_LSH_COSINE),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "conv_stats": (q_conv_stats, SQL_CONV_STATS),
 }
+
+# multimodal plumbing lives in its own module (binary columns + mapInPandas)
+from .multimodal import (  # noqa: E402
+    SQL_MULTIMODAL_FEATURES,
+    q_multimodal_features,
+)
+
+QUERIES["multimodal_features"] = (q_multimodal_features, SQL_MULTIMODAL_FEATURES)

@@ -1,0 +1,73 @@
+"""Physical-plan hygiene: hot paths stay JVM-side and pushed down.
+
+Enforces SURVEY.md §7.3 ("no per-row Python"): every query plan may use
+Arrow-vectorized Python (ArrowEvalPython / FlatMapGroupsInPandas /
+MapInPandas) but never row-at-a-time BatchEvalPython, and term/doc filters
+must reach the parquet scans as PushedFilters so a 100 TB postings table
+is pruned at the source.
+"""
+
+import pytest
+
+from search_engine_spark.config import DEMO_STOP_WORDS, EngineConfig, ScoreWeights
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.search import SearchEngine
+from search_engine_spark.sources.transcripts import (
+    corpus_from_transcripts,
+    synthesize_transcripts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights())
+    idx = tmp_path_factory.mktemp("plan_idx")
+    tx = synthesize_transcripts(spark, f"{SF_DIR}/documents.parquet")
+    build_index(
+        spark, corpus_from_transcripts(tx), str(idx), config=cfg, segments=2
+    )
+    return SearchEngine(spark, str(idx), config=cfg)
+
+
+def plan_of(df) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.toString() + "\n" + qe.executedPlan().toString()
+
+
+def assert_no_row_python(plan: str):
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_bm25_plan_jvm_side_and_pruned(engine):
+    df = engine.search_bm25("filter join window", k=10)
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    # term IN (...) reaches the postings parquet scan
+    assert "PushedFilters" in plan
+    assert "In(term" in plan
+    # the tiny per-term stats side is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wand_plan_jvm_side(engine):
+    df = engine.search_bm25("filter join window", k=10, use_wand=True)
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    assert "In(term" in plan
+
+
+def test_reference_search_plan_arrow_only(engine):
+    df = engine.search("window merge", max_count=10)
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    # scoring + snippets ride Arrow batches
+    assert "ArrowEvalPython" in plan
+    # candidate doc_ids are pushed down to the docs scan
+    assert "In(doc_id" in plan
+
+
+def test_topk_is_take_ordered(engine):
+    df = engine.search_bm25("filter join window", k=10)
+    assert "TakeOrderedAndProject" in plan_of(df)

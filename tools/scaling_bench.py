@@ -1,0 +1,159 @@
+"""Two-cluster-size scaling evidence (north rule): run the identical
+index-build + query job at two parallelism levels via ``spark-submit
+--py-files`` and report throughput at both plus scaling efficiency.
+
+The sandbox has no real cluster, so N vs 4N executors is evidenced as
+``local[8]`` vs ``local[32]`` on the same input (BASELINE.md). Efficiency
+= (throughput_32 / throughput_8) / 4; the target is >= 0.8.
+
+Usage: python tools/scaling_bench.py [sf_dir] [out_md]
+Writes BENCH.md at the repo root (throughput table + per-query p95) and
+prints the summary JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+LEVELS = [("N", "local[8]", 8), ("4N", "local[32]", 32)]
+
+
+def make_pkg_zip(tmp: str) -> str:
+    zip_base = os.path.join(tmp, "search_engine_spark")
+    shutil.make_archive(
+        zip_base, "zip", root_dir=str(REPO), base_dir="search_engine_spark"
+    )
+    return zip_base + ".zip"
+
+
+def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
+    """One bench run in a fresh JVM via spark-submit --py-files."""
+    env = dict(os.environ)
+    env.update(
+        {
+            "BENCH_MASTER": master,
+            "SPARK_GRAFT_CPUS": str(threads),
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            # compute-dominated corpus so the parallel fraction (not JVM /
+            # stage-scheduling overhead) is what the two levels compare
+            "BENCH_REPLICATE": os.environ.get("BENCH_REPLICATE", "64"),
+        }
+    )
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", master,
+        "--py-files", pyfiles,
+        "--conf", "spark.ui.enabled=false",
+        str(REPO / "bench.py"),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=str(REPO),
+        timeout=3600,
+    )
+    lines = [
+        ln for ln in out.stdout.splitlines() if ln.startswith('{"metric"')
+    ]
+    if not lines:
+        raise RuntimeError(
+            f"bench produced no JSON at {master}:\n{out.stdout[-2000:]}\n"
+            f"{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def main() -> dict:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_md = Path(sys.argv[2]) if len(sys.argv) > 2 else REPO / "BENCH.md"
+
+    tmp = tempfile.mkdtemp(prefix="scaling_bench_")
+    pyfiles = make_pkg_zip(tmp)
+    results = {}
+    for label, master, threads in LEVELS:
+        results[label] = run_level(master, threads, sf_dir, pyfiles)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    tput = {
+        lab: r["detail"]["build_turns_per_sec"] for lab, r in results.items()
+    }
+    factor = LEVELS[1][2] / LEVELS[0][2]
+    speedup = tput["4N"] / tput["N"]
+    efficiency = speedup / factor
+
+    summary = {
+        "metric": "scaling efficiency (build throughput, local[8] -> local[32])",
+        "sf_dir": sf_dir,
+        "n_turns": results["4N"]["detail"]["n_turns"],
+        "throughput_turns_per_sec": tput,
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+        "via": "spark-submit --py-files",
+        "levels": {lab: m for lab, m, _ in LEVELS},
+        "runs": results,
+    }
+
+    md = ["# BENCH — measured results", ""]
+    md.append(
+        f"Same job (synthesize transcripts from `{sf_dir}/documents.parquet`, "
+        f"build inverted index + blocks + stats, run the headline query "
+        f"suite) at two parallelism levels in fresh JVMs via "
+        f"`spark-submit --py-files` — the sandbox stand-in for N vs 4N "
+        f"executors (no real cluster available)."
+    )
+    md.append("")
+    md.append("## Scaling (north rule: efficiency ≥ 0.8 from N to 4N)")
+    md.append("")
+    md.append("| level | master | turns | build sec | turns/sec |")
+    md.append("|---|---|---|---|---|")
+    for lab, master, _ in LEVELS:
+        r = results[lab]
+        md.append(
+            f"| {lab} | `{master}` | {r['detail']['n_turns']} | "
+            f"{r['queries']['index_build']} | "
+            f"{r['detail']['build_turns_per_sec']} |"
+        )
+    md.append("")
+    md.append(
+        f"**Speedup {LEVELS[0][2]}→{LEVELS[1][2]} threads: "
+        f"{summary['speedup']}× — scaling efficiency "
+        f"{summary['efficiency']} (target ≥ 0.8: "
+        f"{'PASS' if summary['pass'] else 'FAIL'}).**"
+    )
+    md.append("")
+    md.append("## Query latency (persisted index, median / p95 ms)")
+    md.append("")
+    md.append("| query | " + " | ".join(f"{lab} p50 / p95" for lab, _, _ in LEVELS) + " |")
+    md.append("|---|" + "---|" * len(LEVELS))
+    qnames = [q for q in results["N"]["queries"] if q != "index_build"]
+    for q in qnames:
+        cells = []
+        for lab, _, _ in LEVELS:
+            lat = results[lab]["detail"]["latency"][q]
+            cells.append(f"{lat['p50_ms']} / {lat['p95_ms']}")
+        md.append(f"| {q} | " + " | ".join(cells) + " |")
+    md.append("")
+    md.append("```json")
+    md.append(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
+    md.append("```")
+    out_md.write_text("\n".join(md) + "\n")
+
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
