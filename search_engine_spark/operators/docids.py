@@ -112,7 +112,9 @@ def with_global_sequence(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        # follow the shuffle width so output layout (and therefore doc-id
+        # enumeration inputs) is independent of executor count
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)

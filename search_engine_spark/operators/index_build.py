@@ -131,7 +131,11 @@ def build_index(
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
     manifest = read_manifest(index_dir)
-    npart = shuffle_partitions or spark.sparkContext.defaultParallelism
+    # layout width follows the shuffle setting, not the executor count, so
+    # the same input yields the same files at any cluster size
+    npart = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
 
     # ---- stage 0: doc-id assignment + staged corpus (resumable) ----------
     staged_dir = os.path.join(index_dir, "staged")
@@ -144,15 +148,19 @@ def build_index(
                 # parity with engine.ts:56-58
                 raise ValueError(f"page already in index: {dupes[0]['url']}")
         if mode == "reference":
-            assigned = with_reference_ids(corpus, "rank", ["arrival"])
+            assigned = (
+                with_reference_ids(corpus, "rank", ["arrival"])
+                .repartitionByRange(npart, "doc_id")
+                .sortWithinPartitions("doc_id")
+            )
         else:
-            assigned = with_global_sequence(corpus, list(order_cols), "doc_id")
-        (
-            assigned.repartitionByRange(npart, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(staged_dir)
-        )
+            # with_global_sequence already leaves the data range-partitioned
+            # and sorted in doc_id order — re-ranging would just add a
+            # sampling pass + full shuffle for a no-op
+            assigned = with_global_sequence(
+                corpus, list(order_cols), "doc_id", num_partitions=npart
+            )
+        assigned.write.mode("overwrite").parquet(staged_dir)
         n_docs = spark.read.parquet(staged_dir).count()
         _append_manifest(
             index_dir,

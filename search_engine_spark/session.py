@@ -40,7 +40,14 @@ def get_spark(
     master = master or f"local[{cpus}]"
     n_threads = master.removeprefix("local[").removesuffix("]")
     if shuffle_partitions is None:
-        shuffle_partitions = int(n_threads) if n_threads.isdigit() else os.cpu_count()
+        # SPARK_SHUFFLE_PARTITIONS pins the data layout independently of
+        # thread count — required for clean scaling comparisons (a real
+        # cluster comparison varies executors, not the plan)
+        env_sp = os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            shuffle_partitions = int(n_threads) if n_threads.isdigit() else os.cpu_count()
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -51,6 +58,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # G1's concurrent barriers collapse under this sandbox's virtualized
+        # kernel (3-8x sys-time blowup at >=32 threads, measured);
+        # throughput GC restores scaling. Applied at JVM launch when the
+        # session is created from plain python; under spark-submit pass
+        # --driver-java-options (tools/scaling_bench.py does).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

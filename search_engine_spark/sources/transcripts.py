@@ -83,7 +83,10 @@ def synthesize_transcripts(
     docs = spark.read.parquet(documents_path)
     if replicate > 1:
         # deterministic corpus scale-up for throughput benchmarks: each
-        # replica is a distinct conversation namespace
+        # replica is a distinct conversation namespace. The source is often
+        # a single small file (one scan partition) — spread it first so the
+        # explode fans out across the cluster instead of one task.
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
         ).withColumn(
