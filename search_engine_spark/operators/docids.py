@@ -28,9 +28,7 @@ Two modes:
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
-
-import pandas as pd
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,12 +101,17 @@ def with_global_sequence(
     """Attach a dense global sequence (``start``-based) over the total order
     given by ``order_cols`` — the distributed row_number.
 
-    Two passes over a persisted range-partitioned frame:
+    Fully JVM-side, two jobs over a persisted range-partitioned frame:
     1. count rows per range partition (collects one small row per partition)
-    2. mapInPandas enumerates each partition locally and adds its offset
+    2. ``monotonically_increasing_id`` encodes ``(partition, local index)``
+       — with the frame sorted within partitions its low 33 bits ARE the
+       local row number — so ``doc_id = partition offset + local index`` is
+       pure column arithmetic: no Python round-trip, no second shuffle, no
+       single-partition window.
 
     No global shuffle to one partition, no skew: ranges are balanced by
-    Spark's range partitioner sampling.
+    Spark's range partitioner sampling. The result depends only on the
+    total order, not the partition count (tested).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -119,6 +122,7 @@ def with_global_sequence(
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
     part = part.persist()
     sizes = {
@@ -131,24 +135,13 @@ def with_global_sequence(
         offsets[pid] = acc
         acc += sizes[pid]
 
-    # build a fresh StructType — StructType.add would mutate the frame's
-    # cached schema in place and desync it from the JVM plan
-    out_schema = T.StructType(
-        list(part.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
-    )
-
-    def enumerate_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(**{out_col: pd.Series([], dtype="int64")})
-                continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.assign(
-                **{out_col: range(base + seen, base + seen + len(pdf))}
-            )
-            seen += len(pdf)
-            yield pdf
-
-    result = part.mapInPandas(enumerate_partition, schema=out_schema).drop("_pid")
-    return result
+    # offset lookup: tiny literal map (one entry per partition)
+    offset_expr = F.lit(start)
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(
+            offset_expr
+        )
+    local_idx = F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), 33)
+    return part.withColumn(
+        out_col, (offset_expr + local_idx).cast("long")
+    ).drop("_pid", "_mid")

@@ -171,11 +171,15 @@ def build_index(
     n_docs = next(e["n_docs"] for e in manifest if e["stage"] == "staged")
 
     staged = spark.read.parquet(staged_dir)
-    min_id, max_id = (
-        staged.agg(F.min("doc_id"), F.max("doc_id")).first()
-        if n_docs
-        else (0, 0)
-    )
+    if not n_docs:
+        min_id, max_id = 0, 0
+    elif mode == "sequence":
+        # dense 1-based sequence by construction — no job needed
+        min_id, max_id = 1, n_docs
+    else:
+        min_id, max_id = staged.agg(
+            F.min("doc_id"), F.max("doc_id")
+        ).first()
 
     # ---- stage 1: per-segment tokenize + docs/positions/postings ---------
     done = _completed(manifest, "segment")

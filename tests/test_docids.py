@@ -80,3 +80,24 @@ def test_global_sequence_dense_and_order_stable(spark):
         (r["conv_id"], r["turn_idx"], r["doc_id"]) for r in out2.collect()
     )
     assert got == got2
+
+
+def test_duplicate_url_rejected(spark, tmp_path):
+    """B7 parity: adding a url twice must fail like engine.ts:56-58."""
+    import pytest as _pytest
+
+    from search_engine_spark.operators.index_build import build_index
+
+    rows = [
+        ("https://x/a", "A", "alpha text", 0, 0),
+        ("https://x/a", "A2", "alpha again", 1, 1),
+        ("https://x/b", "B", "beta text", 2, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, title string, text string, rank long, arrival long"
+    )
+    with _pytest.raises(ValueError, match="already in index"):
+        build_index(
+            spark, df, str(tmp_path / "dup_idx"), mode="reference",
+            segments=1, check_unique_urls=True,
+        )

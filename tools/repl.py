@@ -1,0 +1,66 @@
+"""Interactive query REPL over a built index — the Spark analogue of the
+reference's demo driver (/root/reference/src/demo.ts:159-190: readline
+loop, per-query timing, top-10 results).
+
+Usage:
+    python tools/repl.py <index_dir> [--bm25] [--wand] [--k 10]
+
+Builds nothing; point it at an index produced by
+``search_engine_spark.operators.index_build.build_index`` or the streaming
+ingester. Prints title / url / snippet per hit plus wall-clock latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from search_engine_spark.config import DEMO_STOP_WORDS, EngineConfig, ScoreWeights
+from search_engine_spark.operators.search import SearchEngine
+from search_engine_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("index_dir")
+    ap.add_argument("--bm25", action="store_true", help="BM25 instead of reference scoring")
+    ap.add_argument("--wand", action="store_true", help="block-max pruned BM25")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(master=args.master)
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights())
+    engine = SearchEngine(spark, args.index_dir, config=cfg)
+    print(f"{engine.count()} documents indexed. Empty line quits.")
+
+    while True:
+        try:
+            query = input("search> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not query:
+            break
+        t0 = time.time()
+        if args.bm25 or args.wand:
+            rows = engine.search_bm25(
+                query, k=args.k, use_wand=args.wand
+            ).collect()
+            dt = 1000 * (time.time() - t0)
+            for r in rows:
+                print(f"  {r['score']:9.4f}  doc {r['doc_id']}")
+        else:
+            rows = engine.search(query, max_count=args.k).collect()
+            dt = 1000 * (time.time() - t0)
+            for r in rows:
+                print(f"* {r['title']}  [{r['url']}]")
+                print(f"    {r['introduction']}")
+        print(f"-- {len(rows)} hits in {dt:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
