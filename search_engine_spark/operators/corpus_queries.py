@@ -764,6 +764,219 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup: LSH-band blocking + exact cosine verify
+# --------------------------------------------------------------------------
+
+# 6 bands × 2 hyperplanes (md5-derived signs, planes j = band*2 + row). The
+# operator's DEFINITION includes the band collision — both engines compute
+# "collides in ≥1 band AND exact cosine ≥ τ" — so Spark and the oracle are
+# exact twins while the Spark plan stays shuffle-light: one equi-join on
+# (band, code) instead of an all-pairs cross join, then exact verification
+# only on the blocked candidates. At 100 TB the band code is the shuffle
+# key (≍ bucketed join) and the verify stage touches ~|candidates| rows.
+EMB_DEDUP_BANDS = 6
+EMB_DEDUP_ROWS = 2
+EMB_DEDUP_TAU = 0.45
+
+
+def _cos_sim(e1: Column, e2: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(e1, e2, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return dot / (F.sqrt(sq(e1)) * F.sqrt(sq(e2)))
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b): random-
+    hyperplane LSH banding for candidate generation, exact cosine ≥ τ
+    as the verify filter (cf. reference dedup-by-url B7,
+    /root/reference/src/engine.ts:56-58 — here lifted to vector space)."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # per-band code = little-endian int over the band's plane sign bits;
+    # posexplode → (vec_id, band, code) → self equi-join on the band key
+    codes = F.array(
+        *[
+            sum(
+                F.when(
+                    _dot_lit(
+                        F.col("e"),
+                        _plane_signs(band * EMB_DEDUP_ROWS + r),
+                    )
+                    > 0,
+                    F.lit(1 << r),
+                ).otherwise(F.lit(0))
+                for r in range(EMB_DEDUP_ROWS)
+            )
+            for band in range(EMB_DEDUP_BANDS)
+        ]
+    )
+    banded = emb.select(
+        "vec_id", F.posexplode(codes).alias("band", "code")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+    sim = F.round(_cos_sim(F.col("e_a"), F.col("e_b")), 4)
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= EMB_DEDUP_TAU)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_band_code_sql = ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_signs_sql(band * EMB_DEDUP_ROWS + r)}) > 0 "
+        f"THEN {1 << r} ELSE 0 END)"
+        for r in range(EMB_DEDUP_ROWS)
+    )
+    + ")"
+    for band in range(EMB_DEDUP_BANDS)
+)
+SQL_DEDUP_EMBEDDING_PAIRS = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), banded AS (
+  SELECT vec_id, band - 1 AS band, codes[band] AS code
+  FROM (SELECT vec_id, [{_band_code_sql}] AS codes FROM v),
+       generate_series(1, {EMB_DEDUP_BANDS}) AS g(band)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_dot_product(ea.e, eb.e)
+             / (sqrt(list_dot_product(ea.e, ea.e))
+                * sqrt(list_dot_product(eb.e, eb.e))), 4) AS cos_sim
+FROM cand
+JOIN v ea ON ea.vec_id = cand.vec_a
+JOIN v eb ON eb.vec_id = cand.vec_b
+WHERE round(list_dot_product(ea.e, eb.e)
+            / (sqrt(list_dot_product(ea.e, ea.e))
+               * sqrt(list_dot_product(eb.e, eb.e))), 4) >= {EMB_DEDUP_TAU}
+ORDER BY vec_a, vec_b
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: deterministic coarse centroids, nprobe lists, exact rerank
+# --------------------------------------------------------------------------
+
+IVF_NLIST = 8    # coarse centroids = vectors vec_id 1..8 (deterministic)
+IVF_NPROBE = 2   # probe the query's 2 nearest lists
+
+
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbours for vec_id=0: assign
+    every vector to its max-cosine coarse centroid (broadcast, 8 rows —
+    map-side), probe the query's IVF_NPROBE nearest lists, exact-rerank
+    within them. At scale the centroid id is the partition key: the scan
+    is pruned to nprobe/nlist of the table and no all-pairs shuffle
+    exists (assignment aggregates map-side via partial max)."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id").between(1, IVF_NLIST)).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("c")
+        )
+    )
+    sims = emb.crossJoin(cent).select(
+        "vec_id", "cid", _cos_sim(F.col("e"), F.col("c")).alias("csim")
+    )
+    # argmax centroid, tie → lowest cid: max of struct(csim, -cid)
+    asn = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim").alias("s"), (-F.col("cid")).alias("nc")
+                )
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.nc")).alias("centroid"))
+    )
+    probes = F.broadcast(
+        sims.filter(F.col("vec_id") == 0)
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .limit(IVF_NPROBE)
+        .select(F.col("cid").alias("centroid"))
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("q"))
+    )
+    return (
+        asn.join(probes, "centroid")
+        .filter(F.col("vec_id") != 0)
+        .join(emb, "vec_id")
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "centroid",
+            F.round(_cos_sim(F.col("e"), F.col("q")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_ANN_IVF_COSINE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, e AS c FROM v WHERE vec_id BETWEEN 1 AND {IVF_NLIST}
+), sims AS (
+  SELECT v.vec_id, cent.cid,
+         list_dot_product(v.e, cent.c)
+           / (sqrt(list_dot_product(v.e, v.e))
+              * sqrt(list_dot_product(cent.c, cent.c))) AS csim
+  FROM v, cent
+), asn AS (
+  SELECT vec_id, cid AS centroid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid ASC) AS rn
+        FROM sims)
+  WHERE rn = 1
+), probes AS (
+  SELECT cid AS centroid FROM sims WHERE vec_id = 0
+  ORDER BY csim DESC, cid ASC LIMIT {IVF_NPROBE}
+), q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+SELECT asn.vec_id, asn.centroid,
+       round(list_dot_product(v.e, q.qe)
+             / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+FROM asn
+JOIN probes ON asn.centroid = probes.centroid
+JOIN v ON v.vec_id = asn.vec_id, q
+WHERE asn.vec_id <> 0
+ORDER BY cos_sim DESC, asn.vec_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # token counting: whitespace (tokenize_count above) + BPE-ish regex
 # --------------------------------------------------------------------------
 
@@ -887,6 +1100,11 @@ QUERIES = {
     "transcripts_synth": (q_transcripts_synth, SQL_TRANSCRIPTS_SYNTH),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "ann_lsh_cosine": (q_ann_lsh_cosine, SQL_ANN_LSH_COSINE),
+    "ann_ivf_cosine": (q_ann_ivf_cosine, SQL_ANN_IVF_COSINE),
+    "dedup_embedding_pairs": (
+        q_dedup_embedding_pairs,
+        SQL_DEDUP_EMBEDDING_PAIRS,
+    ),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "conv_stats": (q_conv_stats, SQL_CONV_STATS),
