@@ -71,3 +71,16 @@ def test_reference_search_plan_arrow_only(engine):
 def test_topk_is_take_ordered(engine):
     df = engine.search_bm25("filter join window", k=10)
     assert "TakeOrderedAndProject" in plan_of(df)
+
+
+@pytest.mark.parametrize("name", sorted(__import__(
+    "search_engine_spark.operators.corpus_queries", fromlist=["QUERIES"]
+).QUERIES))
+def test_corpus_query_plans_jvm_side(spark, name):
+    """Every driver-contract operator stays JVM-side or Arrow-vectorized —
+    no row-at-a-time Python anywhere (SURVEY.md §7.3)."""
+    from search_engine_spark.operators.corpus_queries import QUERIES
+
+    fn, _sql = QUERIES[name]
+    plan = plan_of(fn(spark, SF_DIR))
+    assert_no_row_python(plan)
