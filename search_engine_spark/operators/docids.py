@@ -98,6 +98,20 @@ def with_global_sequence(
     start: int = 1,
     num_partitions: int | None = None,
 ) -> DataFrame:
+    """See :func:`with_global_sequence_counted`; drops the row count."""
+    out, _n = with_global_sequence_counted(
+        df, order_cols, out_col, start, num_partitions
+    )
+    return out
+
+
+def with_global_sequence_counted(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "doc_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
     """Attach a dense global sequence (``start``-based) over the total order
     given by ``order_cols`` — the distributed row_number.
 
@@ -118,6 +132,10 @@ def with_global_sequence(
         # follow the shuffle width so output layout (and therefore doc-id
         # enumeration inputs) is independent of executor count
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # deliberately NOT caching the input: the range partitioner's sampling
+    # pass recomputes the upstream pipeline once, but that is parallel
+    # compute, which scales with executors — a cache fill is a serialized
+    # memory copy through a shared resource and measurably hurts scaling
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -135,13 +153,21 @@ def with_global_sequence(
         offsets[pid] = acc
         acc += sizes[pid]
 
-    # offset lookup: tiny literal map (one entry per partition)
-    offset_expr = F.lit(start)
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(
-            offset_expr
-        )
+    # offset lookup: flat array literal indexed by partition id — an
+    # O(num_partitions)-deep nested WHEN chain here costs seconds of
+    # driver-side Catalyst/codegen time per downstream action, pure serial
+    # overhead (partition ids of a fresh shuffle are dense 0..n-1)
+    max_pid = max(offsets, default=-1)
+    offset_arr = F.array(
+        *[F.lit(offsets.get(pid, start)) for pid in range(max_pid + 1)]
+    )
+    offset_expr = (
+        F.element_at(offset_arr, F.col("_pid") + 1)
+        if max_pid >= 0
+        else F.lit(start)
+    )
     local_idx = F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), 33)
-    return part.withColumn(
+    out = part.withColumn(
         out_col, (offset_expr + local_idx).cast("long")
     ).drop("_pid", "_mid")
+    return out, acc - start

@@ -17,16 +17,21 @@ Reference behavior being re-expressed (not ported):
 Spark shape (one declarative plan per stage, Catalyst optimizes):
 
     corpus -> assign doc_ids (distributed sequence / reference allocator)
-           -> stage (sorted by doc_id, parquet)                 [resumable]
-    per doc-id segment k:                                        [resumable]
-           stage filter(seg k)   (parquet row-group pruned)
            -> tokenize (Column exprs or Arrow UDF)
-           -> docs/seg=k
-           -> posexplode -> groupBy(doc_id, term) -> term_positions/seg=k
-           -> stop-filter -> postings/seg=k  (term, doc_id, tf, dl)
-    merge: postings/* -> repartitionByRange(term, doc_id)
-           -> delta-encoded blocks with block-max metadata (mapInPandas)
-           -> term_stats (df per term), corpus_stats (N, avgdl)
+           -> docs table partitioned by doc-id segment          [resumable]
+    per doc-id segment k:                                        [resumable]
+           docs filter(seg=k)   (partition-pruned scan)
+           -> posexplode -> groupBy(doc_id, term)
+           -> ONE range shuffle on (term, doc_id), cached
+           -> term_positions/seg=k ∥ postings/seg=k (term, doc_id, tf, dl)
+           -> delta-encoded block-max blocks/seg=k (mapInPandas over the
+              sorted partition runs — Lucene-style log-structured segments)
+    finalize: term_stats (df, max_tf per term) aggregated from the block
+           summaries (~block_size x smaller than postings); corpus_stats
+           (N, avgdl) observed during the docs write
+
+A scheduled global re-merge of accumulated segments (the Lucene
+"force-merge" analogue) lives in streaming/incremental.py:refresh_stats.
 
 Skew note: postings are laid out with ``repartitionByRange(term, doc_id)``,
 which SPLITS a Zipf head term across partitions (unlike hash partitioning,
@@ -49,12 +54,12 @@ from typing import Iterator, Optional, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
 from ..functions.tokenizer import tokenize_expr, tokenize_words_udf
-from .docids import with_global_sequence, with_reference_ids
+from .docids import with_global_sequence_counted, with_reference_ids
 
 MANIFEST = "manifest.jsonl"
 
@@ -98,6 +103,14 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _segment_bounds(
+    min_id: int, max_id: int, segments: int, nonempty: bool
+) -> list[int]:
+    """Lower bound of each segment's [lo, hi) doc-id range."""
+    span = (max_id - min_id + 1) if nonempty else 1
+    return [min_id + (span * k) // segments for k in range(segments)]
+
+
 def stop_word_filter(term_col, stop_words: frozenset[str]):
     """Reference isStopWord (engine.ts:490-492): len<2 always stops; the
     configured list is checked against the lowercased term."""
@@ -137,9 +150,13 @@ def build_index(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
 
-    # ---- stage 0: doc-id assignment + staged corpus (resumable) ----------
-    staged_dir = os.path.join(index_dir, "staged")
-    if "staged" not in {e["stage"] for e in manifest if e.get("ok")}:
+    # ---- stage 0: doc-id assignment + tokenized docs table (resumable) ---
+    # The docs table IS the frozen corpus: one pass assigns ids, tokenizes,
+    # and writes docs partitioned by segment. (An earlier design staged the
+    # raw corpus first and re-wrote docs per segment — an extra full
+    # write+read per build that was pure serial overhead at scale.)
+    docs_dir = os.path.join(index_dir, "docs")
+    if "docs" not in {e["stage"] for e in manifest if e.get("ok")}:
         if check_unique_urls:
             dupes = (
                 corpus.groupBy("url").count().filter(F.col("count") > 1).take(1)
@@ -152,36 +169,79 @@ def build_index(
                 with_reference_ids(corpus, "rank", ["arrival"])
                 .repartitionByRange(npart, "doc_id")
                 .sortWithinPartitions("doc_id")
+                .persist()
             )
+            row = assigned.agg(
+                F.min("doc_id"), F.max("doc_id"), F.count("*")
+            ).first()
+            min_id, max_id, n_docs = row[0] or 0, row[1] or 0, row[2]
         else:
-            # with_global_sequence already leaves the data range-partitioned
-            # and sorted in doc_id order — re-ranging would just add a
-            # sampling pass + full shuffle for a no-op
-            assigned = with_global_sequence(
+            # with_global_sequence leaves the data range-partitioned and
+            # sorted in doc_id order; its partition-size collect supplies
+            # n_docs (and the dense 1..n id bounds) with no extra job
+            assigned, n_docs = with_global_sequence_counted(
                 corpus, list(order_cols), "doc_id", num_partitions=npart
             )
-        assigned.write.mode("overwrite").parquet(staged_dir)
-        n_docs = spark.read.parquet(staged_dir).count()
+            min_id, max_id = (1, n_docs) if n_docs else (0, 0)
+
+        if config.tokenizer == "arrow":
+            words = tokenize_words_udf(F.concat_ws(" ", "title", "text"))
+        else:
+            words = tokenize_expr(F.concat_ws(" ", "title", "text"))
+        docs_out = assigned.withColumn("words", words).withColumn(
+            "n_tokens", F.size("words")
+        ).select(
+            "doc_id", "url", "title", "words", "n_tokens",
+            *[c for c in ("conv_id", "turn_idx", "ts") if c in corpus.columns],
+        )
+        # seg = number of segment lower bounds <= doc_id, minus one —
+        # exactly the [lo, hi) ranges the segment loop uses
+        bounds = _segment_bounds(min_id, max_id, segments, bool(n_docs))
+        seg_col = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: F.col("doc_id") >= b,
+            )
+        ) - F.lit(1)
+        # corpus stats (avgdl for BM25/block-max) observed during the
+        # write — no separate aggregation job
+        doc_obs = Observation("docs_stats")
+        (
+            docs_out.withColumn("seg", seg_col)
+            .observe(
+                doc_obs,
+                F.sum("n_tokens").alias("sum_dl"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(docs_dir)
+        )
+        if mode == "reference":
+            assigned.unpersist()
+        got = doc_obs.get
+        corpus_stats = {
+            "n_docs": int(got["n"]),
+            "avgdl": (float(got["sum_dl"]) / got["n"]) if got["n"] else 0.0,
+        }
+        with open(os.path.join(index_dir, "corpus_stats.json"), "w") as fh:
+            json.dump(corpus_stats, fh)
         _append_manifest(
             index_dir,
-            {"stage": "staged", "ok": True, "n_docs": n_docs,
+            {"stage": "docs", "ok": True, "n_docs": n_docs,
+             "min_id": min_id, "max_id": max_id, **corpus_stats,
              "seconds": round(time.time() - t0, 3)},
         )
         manifest = read_manifest(index_dir)
-    n_docs = next(e["n_docs"] for e in manifest if e["stage"] == "staged")
+    docs_entry = next(e for e in manifest if e["stage"] == "docs")
+    n_docs = docs_entry["n_docs"]
+    min_id, max_id = docs_entry["min_id"], docs_entry["max_id"]
+    with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
+        corpus_stats = json.load(fh)
 
-    staged = spark.read.parquet(staged_dir)
-    if not n_docs:
-        min_id, max_id = 0, 0
-    elif mode == "sequence":
-        # dense 1-based sequence by construction — no job needed
-        min_id, max_id = 1, n_docs
-    else:
-        min_id, max_id = staged.agg(
-            F.min("doc_id"), F.max("doc_id")
-        ).first()
+    docs_all = spark.read.parquet(docs_dir)
 
-    # ---- stage 1: per-segment tokenize + docs/positions/postings ---------
+    # ---- stage 1: per-segment positions + postings + blocks --------------
     done = _completed(manifest, "segment")
     span = (max_id - min_id + 1) if n_docs else 1
     for k in range(segments):
@@ -190,22 +250,8 @@ def build_index(
         lo = min_id + (span * k) // segments
         hi = min_id + (span * (k + 1)) // segments  # exclusive
         t_seg = time.time()
-        seg = staged.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-
-        if config.tokenizer == "arrow":
-            words = tokenize_words_udf(F.concat_ws(" ", "title", "text"))
-        else:
-            words = tokenize_expr(F.concat_ws(" ", "title", "text"))
-        docs = seg.withColumn("words", words).withColumn(
-            "n_tokens", F.size("words")
-        )
-        docs_out = docs.select(
-            "doc_id", "url", "title", "words", "n_tokens",
-            *[c for c in ("conv_id", "turn_idx", "ts") if c in seg.columns],
-        )
-        docs_out.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "docs", f"seg={k}")
-        )
+        # partition-pruned scan of just this segment's docs
+        docs = docs_all.filter(F.col("seg") == k)
 
         # per-page positional index (stop words INCLUDED, engine.ts:88-94)
         term_pos = (
@@ -223,37 +269,60 @@ def build_index(
                 F.first("n_tokens").alias("dl"),
             )
         )
-        term_pos = term_pos.persist()
-        (
-            term_pos.select("doc_id", "term", "positions")
-            .repartitionByRange(npart, "term", "doc_id")
+        # one range shuffle per segment, cached post-shuffle: both table
+        # writes (term_positions, postings) scan the same sorted layout —
+        # previously each write carried its own sample pass + shuffle,
+        # pure serial overhead that capped scaling efficiency
+        term_pos = term_pos.persist()  # feeds the range sampler + shuffle
+        laid = (
+            term_pos.repartitionByRange(npart, "term", "doc_id")
             .sortWithinPartitions("term", "doc_id")
+            .persist()
+        )
+        (
+            laid.select("doc_id", "term", "positions")
             .write.mode("overwrite")
             .parquet(os.path.join(index_dir, "term_positions", f"seg={k}"))
         )
+        term_pos.unpersist()
 
         # global inverted index (stop words EXCLUDED, engine.ts:68-77);
-        # tf = positions count; dl denormalized for join-free BM25 scoring
-        postings = (
-            term_pos.filter(stop_word_filter(F.col("term"), config.stop_words))
-            .select(
-                "term",
-                "doc_id",
-                F.size("positions").alias("tf"),
-                "dl",
-            )
-            .repartitionByRange(npart, "term", "doc_id")
-            .sortWithinPartitions("term", "doc_id")
-        )
+        # tf = positions count; dl denormalized for join-free BM25 scoring.
+        # Row count observed during the write — no separate count job.
+        obs = Observation(f"postings_seg_{k}")
+        postings = laid.filter(
+            stop_word_filter(F.col("term"), config.stop_words)
+        ).select(
+            "term",
+            "doc_id",
+            F.size("positions").alias("tf"),
+            "dl",
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         postings.write.mode("overwrite").parquet(
             os.path.join(index_dir, "postings", f"seg={k}")
         )
-        term_pos.unpersist()
+
+        # delta-encoded block-max blocks, cut from this segment's already
+        # sorted layout (Lucene-style log-structured segments): no global
+        # re-shuffle of all postings at the end of the build. A term that
+        # appears in s segments just has >= s blocks — WAND treats blocks
+        # independently, so this only adds a few short blocks per term.
+        build_blocks(
+            laid.filter(
+                stop_word_filter(F.col("term"), config.stop_words)
+            ).select(
+                "term", "doc_id", F.size("positions").alias("tf"), "dl"
+            ),
+            os.path.join(index_dir, "blocks", f"seg={k}"),
+            corpus_stats["avgdl"],
+            config,
+            npart,
+            presorted=True,
+        )
+        laid.unpersist()
 
         n_seg_docs = hi - lo if n_docs else 0
-        n_seg_postings = spark.read.parquet(
-            os.path.join(index_dir, "postings", f"seg={k}")
-        ).count()
+        n_seg_postings = int(obs.get["n"])
         seg_seconds = time.time() - t_seg
         seg_bytes = _dir_bytes(os.path.join(index_dir, "postings", f"seg={k}"))
         _append_manifest(
@@ -273,42 +342,24 @@ def build_index(
             raise RuntimeError(f"injected failure after segment {k}")
     manifest = read_manifest(index_dir)
 
-    # ---- stage 2: merge-compress -> blocks + stats ------------------------
+    # ---- stage 2: term stats from the block summaries --------------------
     if "merged" not in {e["stage"] for e in manifest if e.get("ok")}:
         t_merge = time.time()
-        postings_all = spark.read.parquet(os.path.join(index_dir, "postings"))
-
-        stats_row = (
-            spark.read.parquet(os.path.join(index_dir, "docs"))
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.avg("n_tokens").alias("avgdl"),
-            )
-            .first()
-        )
-        corpus_stats = {
-            "n_docs": int(stats_row["n_docs"]),
-            "avgdl": float(stats_row["avgdl"] or 0.0),
-        }
-        with open(os.path.join(index_dir, "corpus_stats.json"), "w") as fh:
-            json.dump(corpus_stats, fh)
-
-        # df per term: algebraic agg -> map-side combine absorbs Zipf skew
+        # df per term = sum of block sizes; max_tf = max over block tf
+        # arrays. The blocks table is ~block_size x smaller than postings,
+        # so this replaces a full-postings shuffle with a cheap one; the
+        # algebraic agg's map-side combine absorbs Zipf skew.
+        blocks_all = spark.read.parquet(os.path.join(index_dir, "blocks"))
         (
-            postings_all.groupBy("term")
-            .agg(F.count("*").alias("df"), F.max("tf").alias("max_tf"))
+            blocks_all.groupBy("term")
+            .agg(
+                F.sum("n").cast("long").alias("df"),
+                F.max(F.array_max("tfs")).alias("max_tf"),
+            )
             .repartitionByRange(max(npart // 4, 1), "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(index_dir, "term_stats"))
-        )
-
-        build_blocks(
-            postings_all,
-            os.path.join(index_dir, "blocks"),
-            corpus_stats["avgdl"],
-            config,
-            npart,
         )
         _append_manifest(
             index_dir,
@@ -335,6 +386,7 @@ def build_blocks(
     avgdl: float,
     config: EngineConfig,
     num_partitions: int,
+    presorted: bool = False,
 ) -> None:
     """Cut postings into delta-encoded, block-max-annotated blocks.
 
@@ -353,9 +405,13 @@ def build_blocks(
     """
     k1, b = config.bm25_k1, config.bm25_b
     block = config.block_size
-    part = postings.repartitionByRange(
-        num_partitions, "term", "doc_id"
-    ).sortWithinPartitions("term", "doc_id")
+    if presorted:
+        # caller guarantees a (term, doc_id)-sorted partition layout
+        part = postings
+    else:
+        part = postings.repartitionByRange(
+            num_partitions, "term", "doc_id"
+        ).sortWithinPartitions("term", "doc_id")
 
     schema = (
         "term string, first_doc long, max_doc long, n int, "

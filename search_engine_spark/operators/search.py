@@ -90,25 +90,7 @@ class SearchEngine:
         ]
         if not lookup:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-
-        terms = sorted({w.lower() for w in lookup})
-        p = self.postings.select("doc_id", F.lower(F.col("term")).alias("term"))
-        p = p.filter(F.col("term").isin(terms))
-
-        if len(lookup) == 1:
-            # single-list fast path: first 100 postings, quote predicate
-            # SKIPPED (engine.ts:398-404)
-            cand = p.select("doc_id")
-        else:
-            cand = (
-                p.groupBy("doc_id")
-                .agg(F.count("*").alias("n_terms"))
-                .filter(F.col("n_terms") == len(terms))
-                .select("doc_id")
-            )
-            if quotes:
-                cand = self._phrase_filter(cand, words, quotes)
-        cand = cand.orderBy("doc_id").limit(INTERSECT_CAP)
+        cand = self.candidates(words, quotes, lookup)
 
         # fetch-after-intersection: <=100 ids, pushed down to the docs scan
         ids = [r["doc_id"] for r in cand.collect()]
@@ -133,6 +115,39 @@ class SearchEngine:
             .select("doc_id", "score", "title", "introduction", "url")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
+
+    def candidates(
+        self,
+        words: Sequence[str],
+        quotes: Sequence[int],
+        lookup: Sequence[str],
+    ) -> DataFrame:
+        """Candidate generation = the reference's k-way sorted intersection
+        (engine.ts:391-431), capped at INTERSECT_CAP in ascending doc_id
+        (= rank) order."""
+        terms = sorted({w.lower() for w in lookup})
+        # postings.term is lowercased at build time (B3) — filtering the
+        # raw column keeps the IN-list pushed down into the parquet scan
+        # (re-applying lower() here would disable predicate pushdown and
+        # force a full postings scan per query)
+        p = self.postings.select("doc_id", "term").filter(
+            F.col("term").isin(terms)
+        )
+
+        if len(lookup) == 1:
+            # single-list fast path: first 100 postings, quote predicate
+            # SKIPPED (engine.ts:398-404)
+            cand = p.select("doc_id")
+        else:
+            cand = (
+                p.groupBy("doc_id")
+                .agg(F.count("*").alias("n_terms"))
+                .filter(F.col("n_terms") == len(terms))
+                .select("doc_id")
+            )
+            if quotes:
+                cand = self._phrase_filter(cand, words, quotes)
+        return cand.orderBy("doc_id").limit(INTERSECT_CAP)
 
     def _phrase_filter(
         self, cand: DataFrame, words: Sequence[str], quotes: Sequence[int]

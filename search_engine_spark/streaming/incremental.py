@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig
 from ..functions.tokenizer import tokenize_expr, tokenize_words_udf
 from ..sources.transcripts import TRANSCRIPT_SCHEMA, corpus_from_transcripts
-from ..operators.docids import with_global_sequence
+from ..operators.docids import with_global_sequence_counted
 from ..operators.index_build import (
     _append_manifest,
     build_blocks,
@@ -63,10 +63,12 @@ def append_batch(
     npart = npart or int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = _max_doc_id(spark, index_dir)
 
-    assigned = with_global_sequence(
+    assigned, n_new = with_global_sequence_counted(
         corpus, ["conv_id", "turn_idx"], "doc_id", start=base + 1,
         num_partitions=npart,
     )
+    if n_new == 0:
+        return 0
 
     if config.tokenizer == "arrow":
         words = tokenize_words_udf(F.concat_ws(" ", "title", "text"))
@@ -75,15 +77,13 @@ def append_batch(
     docs = assigned.withColumn("words", words).withColumn(
         "n_tokens", F.size("words")
     )
-    n_new = docs.count()
-    if n_new == 0:
-        return 0
+    docs_seg_dir = os.path.join(index_dir, "docs", f"seg={seg_label}")
     docs.select(
         "doc_id", "url", "title", "words", "n_tokens",
         *[c for c in ("conv_id", "turn_idx", "ts") if c in corpus.columns],
-    ).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "docs", f"seg={seg_label}")
-    )
+    ).write.mode("overwrite").parquet(docs_seg_dir)
+    # read the tokenized docs back — don't retokenize (see build_index)
+    docs = spark.read.parquet(docs_seg_dir)
 
     term_pos = (
         docs.select(
@@ -97,22 +97,25 @@ def append_batch(
         )
         .persist()
     )
-    (
-        term_pos.select("doc_id", "term", "positions")
-        .repartitionByRange(npart, "term", "doc_id")
+    # one range shuffle, cached post-shuffle; both writes scan it
+    laid = (
+        term_pos.repartitionByRange(npart, "term", "doc_id")
         .sortWithinPartitions("term", "doc_id")
+        .persist()
+    )
+    (
+        laid.select("doc_id", "term", "positions")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "term_positions", f"seg={seg_label}"))
     )
+    term_pos.unpersist()
     (
-        term_pos.filter(stop_word_filter(F.col("term"), config.stop_words))
+        laid.filter(stop_word_filter(F.col("term"), config.stop_words))
         .select("term", "doc_id", F.size("positions").alias("tf"), "dl")
-        .repartitionByRange(npart, "term", "doc_id")
-        .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "postings", f"seg={seg_label}"))
     )
-    term_pos.unpersist()
+    laid.unpersist()
     _append_manifest(
         index_dir,
         {

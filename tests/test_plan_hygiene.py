@@ -84,3 +84,12 @@ def test_corpus_query_plans_jvm_side(spark, name):
     fn, _sql = QUERIES[name]
     plan = plan_of(fn(spark, SF_DIR))
     assert_no_row_python(plan)
+
+
+def test_reference_search_postings_pushdown(engine):
+    """The parity path's term IN-list must reach the postings scan —
+    re-lowercasing the already-lowercase term column would disable it."""
+    df = engine.candidates(["window", "merge"], [], ["window", "merge"])
+    plan = plan_of(df)
+    assert "In(term" in plan
+    assert "lower(" not in plan

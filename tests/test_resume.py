@@ -54,7 +54,7 @@ def test_kill_rerun_identical(spark, tmp_path):
     m = read_manifest(crash_dir)
     segs = sorted(e["segment"] for e in m if e["stage"] == "segment" and e["ok"])
     assert segs == [0, 1, 2]
-    assert len([e for e in m if e["stage"] == "staged"]) == 1
+    assert len([e for e in m if e["stage"] == "docs"]) == 1
 
     # index content identical to the uninterrupted build
     for table, order in [
