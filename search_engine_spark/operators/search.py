@@ -75,6 +75,20 @@ class SearchEngine:
         with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
             self.corpus_stats = json.load(fh)
 
+    def warm(self) -> "SearchEngine":
+        """Pin the index tables in executor memory (MEMORY_AND_DISK) and
+        materialize them — the Spark analogue of the reference keeping its
+        index resident (memory-storage.ts) / the OS page cache under its
+        binary files. Repeated queries then skip the parquet scans
+        entirely. On a cluster this is executor-memory-resident columnar
+        cache, partition-pruned by Spark's InMemoryTableScan."""
+        self.postings = self.postings.persist()
+        self.term_positions = self.term_positions.persist()
+        self.docs = self.docs.persist()
+        for df in (self.postings, self.term_positions, self.docs):
+            df.count()
+        return self
+
     # -- Q16 ---------------------------------------------------------------
     def count(self) -> int:
         """Page count (memory-storage.ts:108-110)."""
