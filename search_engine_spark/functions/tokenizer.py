@@ -139,15 +139,20 @@ def tokenize_words_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def duckdb_tokenize_sql(col_sql: str, lower_case: bool = False) -> str:
     """DuckDB SQL expression producing the same ``array<string>`` of words,
     used by the driver's oracle checks. RE2 char classes match the explicit
-    classes above for ASCII+åäö inputs."""
-    inner = col_sql
-    if lower_case:
-        inner = f"lower({inner})"
+    classes above.
+
+    Lowercasing happens AFTER tokenization (per-element), exactly like the
+    reference (engine.ts:69) — lowercasing the input first would let
+    Å/Ä/Ö survive as å/ä/ö even though uppercase Å/Ä/Ö are NOT word chars
+    in the reference pattern (engine.ts:470)."""
     normalized = (
-        f"regexp_replace(regexp_replace({inner}, '{NONWORD_PATTERN}', ' ', 'g'),"
+        f"regexp_replace(regexp_replace({col_sql}, '{NONWORD_PATTERN}', ' ', 'g'),"
         f" '\"', ' \" ', 'g')"
     )
-    return (
+    toks = (
         f"list_filter(string_split_regex({normalized}, '{SPLIT_PATTERN}'),"
         " w -> w <> '' AND w <> '\"')"
     )
+    if lower_case:
+        toks = f"list_transform({toks}, w -> lower(w))"
+    return toks
