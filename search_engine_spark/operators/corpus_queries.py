@@ -764,6 +764,130 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# event-time windowed aggregation over the events table (+ JSON props)
+# --------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type: count, sum(value),
+    avg of the JSON ``props.k`` field. Batch twin of the Structured
+    Streaming path (streaming/windows.py) — same F.window expression the
+    watermarked stream uses, so batch ≡ stream is testable."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 6
+            ).alias("avg_k"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_k",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram statistics: corpus-wide top bigrams
+# --------------------------------------------------------------------------
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 token bigrams by frequency — the n-gram analogue of the
+    posting df aggregation (B9/Q16 lineage): explode adjacent token pairs,
+    algebraic count (map-side combine absorbs Zipf skew), top-k via
+    TakeOrderedAndProject."""
+    toks = _tokens_df(spark, sf_dir)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+pairs AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS freq
+FROM pairs GROUP BY bigram
+ORDER BY freq DESC, bigram ASC LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic train/test split (training-data pipeline staple)
+# --------------------------------------------------------------------------
+
+TT_TEST_PCT = 10  # doc goes to test iff md5(doc_id) mod 100 < 10
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: split membership is a pure function of
+    doc_id (md5 hex prefix mod 100), so it is stable across runs, cluster
+    sizes, and data order — the property a 100 TB pipeline needs (no
+    sampling state, no shuffle; a map-side column + algebraic agg)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    split = F.when(bucket < TT_TEST_PCT, F.lit("test")).otherwise(F.lit("train"))
+    return (
+        _docs(spark, sf_dir)
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < {TT_TEST_PCT}
+            THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY split ORDER BY split
+"""
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup: LSH-band blocking + exact cosine verify
 # --------------------------------------------------------------------------
 
@@ -1105,6 +1229,9 @@ QUERIES = {
         q_dedup_embedding_pairs,
         SQL_DEDUP_EMBEDDING_PAIRS,
     ),
+    "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
+    "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "conv_stats": (q_conv_stats, SQL_CONV_STATS),

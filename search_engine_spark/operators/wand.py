@@ -120,14 +120,16 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
         F.col("term").isin(terms)
     )
 
-    # -- step 1: per-term stats + upper bounds (driver-side, |terms| rows) --
-    df_map = {r["term"]: r["df"] for r in stats.collect()}
-    term_max = {
-        r["term"]: r["mx"]
-        for r in blocks.groupBy("term")
+    # -- step 1: per-term stats + upper bounds (driver-side, |terms| rows;
+    # ONE collect — stats and block maxima join before hitting the driver) --
+    per_term = (
+        blocks.groupBy("term")
         .agg(F.max("block_max_partial").alias("mx"))
+        .join(stats, "term")
         .collect()
-    }
+    )
+    df_map = {r["term"]: r["df"] for r in per_term}
+    term_max = {r["term"]: r["mx"] for r in per_term}
     present = [t for t in terms if t in df_map and t in term_max]
     if not present:
         return spark.createDataFrame([], empty)
