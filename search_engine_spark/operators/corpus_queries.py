@@ -764,6 +764,97 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# relational coverage over the TPC-H-ish tables: agg + broadcast join
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: single-pass algebraic aggregation
+    over lineitem — everything map-side-combinable, one light shuffle on
+    the tiny (returnflag, linestatus) key; scales linearly at 100 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(disc_price * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-k join: lineitem ⋈ orders ⋈ customer with the
+    dimension side explicitly broadcast (customer filter is selective; at
+    100 TB the fact-side scan keeps its date/segment filters pushed down
+    and never shuffles for the dim join) → revenue top-10 via
+    TakeOrderedAndProject."""
+    cust = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders.join(cust, orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1995-03-15'
+  AND l_shipdate > '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # event-time windowed aggregation over the events table (+ JSON props)
 # --------------------------------------------------------------------------
 
@@ -1229,6 +1320,8 @@ QUERIES = {
         q_dedup_embedding_pairs,
         SQL_DEDUP_EMBEDDING_PAIRS,
     ),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
     "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
