@@ -239,6 +239,27 @@ def build_index(
     with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
         corpus_stats = json.load(fh)
 
+    if not n_docs:
+        # an empty partitionBy write leaves no files to infer schemas from
+        # — emit typed empty tables so readers (SearchEngine, WAND) work
+        for name, schema in [
+            ("docs", "doc_id long, url string, title string, "
+                     "words array<string>, n_tokens int, seg int"),
+            ("term_positions/seg=0", "doc_id long, term string, positions array<int>"),
+            ("postings/seg=0", "term string, doc_id long, tf int, dl long"),
+            ("blocks/seg=0", "term string, first_doc long, max_doc long, n int, "
+                             "doc_deltas array<long>, tfs array<int>, "
+                             "block_max_partial double"),
+            ("term_stats", "term string, df long, max_tf int"),
+        ]:
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                os.path.join(index_dir, *name.split("/"))
+            )
+        return BuildResult(
+            index_dir=index_dir, n_docs=0, n_postings=0,
+            seconds=time.time() - t0, segments=segments,
+        )
+
     docs_all = spark.read.parquet(docs_dir)
 
     # ---- stage 1: per-segment positions + postings + blocks --------------
