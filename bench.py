@@ -55,8 +55,14 @@ def run(master: str | None = None, sf_dir: str | None = None,
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("BENCH_MASTER", f"local[{cpus}]")
-    replicate = int(os.environ.get("BENCH_REPLICATE", "8"))
-    segments = int(os.environ.get("BENCH_SEGMENTS", "4"))
+    # 32x replication (~160k turns at sf0.1): large enough that build
+    # throughput reflects the engine rather than per-job fixed costs,
+    # small enough for a sub-minute default run
+    replicate = int(os.environ.get("BENCH_REPLICATE", "32"))
+    # 2 segments: per-segment lineage still exercised, but segment-barrier
+    # fixed costs don't dominate the small default corpus (a production
+    # corpus sizes segments to be individually substantial)
+    segments = int(os.environ.get("BENCH_SEGMENTS", "2"))
     reps = int(os.environ.get("BENCH_QUERY_REPS", "5"))
 
     spark = get_spark(master=master)
