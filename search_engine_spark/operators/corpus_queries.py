@@ -1096,6 +1096,88 @@ ORDER BY vec_a, vec_b
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering: connected components over the LSH pair graph
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    every document in a near-dup pair gets the MINIMUM doc_id of its
+    component as cluster id (the canonical representative a dedup pipeline
+    keeps). Iterative label propagation — each round is one shuffle join,
+    rounds are bounded by component diameter (tiny for dedup graphs); the
+    same loop GraphFrames/Pregel runs at 100 TB. Deterministic: labels
+    only ever decrease to the component minimum."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "cluster", "nb_cluster"
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nb_cluster").alias("nb_min"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .take(1)
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+_LSH_PAIRS_SUBQ = f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sigs_core},
+bands AS ({_band_selects}),
+pairs AS ({_LSH_PAIRS_SUBQ}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       least(u, min(v)) AS cluster
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # IVF-style ANN: deterministic coarse centroids, nprobe lists, exact rerank
 # --------------------------------------------------------------------------
 
@@ -1314,6 +1396,7 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "transcripts_synth": (q_transcripts_synth, SQL_TRANSCRIPTS_SYNTH),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_lsh_cosine": (q_ann_lsh_cosine, SQL_ANN_LSH_COSINE),
     "ann_ivf_cosine": (q_ann_ivf_cosine, SQL_ANN_IVF_COSINE),
     "dedup_embedding_pairs": (
