@@ -113,13 +113,16 @@ def tokenize_expr(col: Column, lower_case: bool = False) -> Column:
     """Column-expression tokenizer: ``string -> array<string>`` of words
     (quote tokens and empties dropped — identical to ``tokenize().words``).
 
-    Stays fully JVM-side (whole-stage codegen): two regexp_replace, one
-    split, one higher-order filter. This is the index-build hot path.
+    For the words list the reference semantics collapse to "maximal runs
+    of word characters": every non-word char (including ``"`` and all
+    whitespace variants) acts as a separator, so ONE split on
+    ``[^word]+`` replaces the reference's replace→pad→split→filter chain
+    (~30% less regex work on the build hot path; equivalence is
+    property-tested three ways in tests/test_tokenizer_parity.py).
+    Stays fully JVM-side inside whole-stage codegen.
     """
-    s = F.regexp_replace(col, NONWORD_PATTERN, " ")
-    s = F.regexp_replace(s, '"', ' " ')
-    arr = F.split(s, SPLIT_PATTERN, -1)
-    arr = F.filter(arr, lambda w: (w != F.lit("")) & (w != F.lit('"')))
+    arr = F.split(col, f"[^{WORD_CLASS}]+", -1)
+    arr = F.filter(arr, lambda w: w != F.lit(""))
     if lower_case:
         arr = F.transform(arr, F.lower)
     return arr
@@ -144,14 +147,11 @@ def duckdb_tokenize_sql(col_sql: str, lower_case: bool = False) -> str:
     Lowercasing happens AFTER tokenization (per-element), exactly like the
     reference (engine.ts:69) — lowercasing the input first would let
     Å/Ä/Ö survive as å/ä/ö even though uppercase Å/Ä/Ö are NOT word chars
-    in the reference pattern (engine.ts:470)."""
-    normalized = (
-        f"regexp_replace(regexp_replace({col_sql}, '{NONWORD_PATTERN}', ' ', 'g'),"
-        f" '\"', ' \" ', 'g')"
-    )
+    in the reference pattern (engine.ts:470). Same single-split form as
+    :func:`tokenize_expr` (see there for the equivalence argument)."""
     toks = (
-        f"list_filter(string_split_regex({normalized}, '{SPLIT_PATTERN}'),"
-        " w -> w <> '' AND w <> '\"')"
+        f"list_filter(string_split_regex({col_sql}, '[^{WORD_CLASS}]+'),"
+        " w -> w <> '')"
     )
     if lower_case:
         toks = f"list_transform({toks}, w -> lower(w))"
