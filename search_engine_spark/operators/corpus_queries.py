@@ -1416,7 +1416,13 @@ QUERIES = {
 # multimodal plumbing lives in its own module (binary columns + mapInPandas)
 from .multimodal import (  # noqa: E402
     SQL_MULTIMODAL_FEATURES,
+    SQL_MULTIMODAL_FRAMES,
+    SQL_MULTIMODAL_RESIZE,
     q_multimodal_features,
+    q_multimodal_frames,
+    q_multimodal_resize,
 )
 
 QUERIES["multimodal_features"] = (q_multimodal_features, SQL_MULTIMODAL_FEATURES)
+QUERIES["multimodal_resize"] = (q_multimodal_resize, SQL_MULTIMODAL_RESIZE)
+QUERIES["multimodal_frames"] = (q_multimodal_frames, SQL_MULTIMODAL_FRAMES)

@@ -56,7 +56,7 @@ def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
             # stage-scheduling overhead) is what the two levels compare —
             # mirrors a real cluster comparison, which sizes the input to
             # keep every executor busy for minutes, not seconds
-            "BENCH_REPLICATE": os.environ.get("BENCH_REPLICATE", "512"),
+            "BENCH_REPLICATE": os.environ.get("BENCH_REPLICATE", "768"),
             "BENCH_SEGMENTS": os.environ.get("BENCH_SEGMENTS", "2"),
             # identical data layout at both levels — only executor count
             # varies, as on a real cluster
