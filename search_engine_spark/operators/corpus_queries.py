@@ -764,6 +764,105 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# sessionization + percentile aggregates over the events table
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # new session after a 30-minute silence
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user: lag over the event-time order,
+    gap > 30 min starts a new session, session id = running count of
+    session starts (classic lag + cumulative-sum window pair). Per-session
+    rollup keeps the output compact. Window partitions by user_id, so at
+    100 TB the shuffle key is the natural entity key — no global sort."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ -> fractional epoch seconds (UTC session) — matches DuckDB epoch()
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(by_user)
+    is_start = F.when(
+        gap.isNull() | (gap > SESSION_GAP_S), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn("s", is_start)
+        .withColumn(
+            "session_idx",
+            F.sum("s").over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(
+                F.max(F.col("ts").cast("timestamp").cast("double"))
+                - F.min(F.col("ts").cast("timestamp").cast("double")),
+                3,
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_s
+FROM numbered GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type (linear interpolation —
+    Spark `percentile` and DuckDB `quantile_cont` share the definition).
+    At 100 TB swap for approx_percentile; the exact form is used here so
+    the oracle comparison is bitwise."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(pct[0], 6).alias("p50"),
+            F.round(pct[1], 6).alias("p90"),
+            F.round(pct[2], 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # relational coverage over the TPC-H-ish tables: agg + broadcast join
 # --------------------------------------------------------------------------
 
@@ -1403,6 +1502,8 @@ QUERIES = {
         q_dedup_embedding_pairs,
         SQL_DEDUP_EMBEDDING_PAIRS,
     ),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "events_windowed": (q_events_windowed, SQL_EVENTS_WINDOWED),
