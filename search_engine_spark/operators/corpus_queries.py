@@ -764,6 +764,71 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# grouping-sets rollup + set operations (taxonomy categories the reference
+# lacks, SURVEY.md §2.3 — covered here so the engine surface is complete)
+# --------------------------------------------------------------------------
+
+def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source): per-(lang, source) doc counts plus per-lang
+    and grand-total subtotal rows — one pass, Spark expands the grouping
+    sets map-side (Expand node), no extra scans."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_LANG_SOURCE_ROLLUP = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source
+"""
+
+
+def q_docs_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: docs containing the conjunctive terms' first word
+    EXCEPT those containing the second, UNION ALL the INTERSECT of both —
+    tagged so one result covers except/intersect/union in a single
+    oracle-checked query."""
+    toks = _tokens_df(spark, sf_dir)
+    has = {
+        t: toks.filter(F.array_contains("toks", t)).select("doc_id")
+        for t in CONJ_TERMS[:2]
+    }
+    a, b = has[CONJ_TERMS[0]], has[CONJ_TERMS[1]]
+    only_a = a.exceptAll(b).withColumn("tag", F.lit("only_first"))
+    both = a.intersectAll(b).withColumn("tag", F.lit("both"))
+    return only_a.unionAll(both).orderBy("tag", "doc_id")
+
+
+SQL_DOCS_EXCEPT_INTERSECT = f"""
+WITH a AS (
+  SELECT doc_id FROM documents WHERE list_contains({_TOKS_SQL}, '{CONJ_TERMS[0]}')
+), b AS (
+  SELECT doc_id FROM documents WHERE list_contains({_TOKS_SQL}, '{CONJ_TERMS[1]}')
+)
+SELECT doc_id, 'only_first' AS tag FROM (SELECT doc_id FROM a EXCEPT ALL SELECT doc_id FROM b)
+UNION ALL
+SELECT doc_id, 'both' AS tag FROM (SELECT doc_id FROM a INTERSECT ALL SELECT doc_id FROM b)
+ORDER BY tag, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # sessionization + percentile aggregates over the events table
 # --------------------------------------------------------------------------
 
@@ -1501,6 +1566,11 @@ QUERIES = {
     "dedup_embedding_pairs": (
         q_dedup_embedding_pairs,
         SQL_DEDUP_EMBEDDING_PAIRS,
+    ),
+    "lang_source_rollup": (q_lang_source_rollup, SQL_LANG_SOURCE_ROLLUP),
+    "docs_except_intersect": (
+        q_docs_except_intersect,
+        SQL_DOCS_EXCEPT_INTERSECT,
     ),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
