@@ -74,6 +74,7 @@ class SearchEngine:
         )
         with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
             self.corpus_stats = json.load(fh)
+        self._warmed = False
 
     def warm(self) -> "SearchEngine":
         """Pin the index tables in executor memory (MEMORY_AND_DISK) and
@@ -87,6 +88,7 @@ class SearchEngine:
         self.docs = self.docs.persist()
         for df in (self.postings, self.term_positions, self.docs):
             df.count()
+        self._warmed = True
         return self
 
     # -- Q16 ---------------------------------------------------------------
@@ -106,13 +108,24 @@ class SearchEngine:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         cand = self.candidates(words, quotes, lookup)
 
-        # fetch-after-intersection: <=100 ids, pushed down to the docs scan
-        ids = [r["doc_id"] for r in cand.collect()]
-        if not ids:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
-        pages = self.docs.filter(F.col("doc_id").isin(ids)).select(
-            "doc_id", "title", "url", "words"
-        )
+        if self._warmed:
+            # fused single-job path: the <=100 candidates broadcast-join
+            # the in-memory docs cache — no intermediate collect, halves
+            # per-query latency on a hot index
+            pages = self.docs.join(
+                F.broadcast(cand.select("doc_id")), "doc_id"
+            ).select("doc_id", "title", "url", "words")
+        else:
+            # cold path mirrors the reference's fetch-after-slice
+            # (engine.ts:141-150): collect <=100 ids so the doc fetch is an
+            # IN-filter PUSHED INTO the parquet scan — on a 100 TB docs
+            # table this prunes to a handful of row groups
+            ids = [r["doc_id"] for r in cand.collect()]
+            if not ids:
+                return self.spark.createDataFrame([], RESULT_SCHEMA)
+            pages = self.docs.filter(F.col("doc_id").isin(ids)).select(
+                "doc_id", "title", "url", "words"
+            )
 
         if self.config.score_weights is not None:
             score_udf = make_score_udf(lookup, self.config.score_weights)
