@@ -84,9 +84,10 @@ def run(master: str | None = None, sf_dir: str | None = None,
     engine = SearchEngine(spark, index_dir, config=cfg)
     t_warm = time.time()
     if os.environ.get("BENCH_WARM", "1") == "1":
-        # hot-index serving mode: index pinned in executor memory, like the
-        # reference's resident in-memory index (memory-storage.ts)
-        engine.warm()
+        # hot-index serving mode: index pinned in executor memory (like the
+        # reference's resident in-memory index, memory-storage.ts) and AQE
+        # replanning disabled for the interactive query phase
+        engine.warm().serve_mode()
     warm_sec = time.time() - t_warm
     timings: dict[str, float] = {"index_build": round(build_sec, 3)}
     lat_ms: dict[str, dict] = {}

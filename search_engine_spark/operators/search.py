@@ -91,6 +91,18 @@ class SearchEngine:
         self._warmed = True
         return self
 
+    def serve_mode(self, enabled: bool = True) -> "SearchEngine":
+        """Low-latency serving knobs (session-wide — call on a session
+        dedicated to query serving): AQE's stage-by-stage replanning is
+        the right default for large builds but adds a blocking
+        materialization per shuffle, ~20% of a small interactive query's
+        wall time — query serving disables it. Build jobs should keep AQE
+        on; flip back with serve_mode(False)."""
+        self.spark.conf.set(
+            "spark.sql.adaptive.enabled", "false" if enabled else "true"
+        )
+        return self
+
     # -- Q16 ---------------------------------------------------------------
     def count(self) -> int:
         """Page count (memory-storage.ts:108-110)."""
