@@ -35,7 +35,8 @@ def main() -> None:
 
     spark = get_spark(master=args.master)
     cfg = EngineConfig(stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights())
-    engine = SearchEngine(spark, args.index_dir, config=cfg)
+    # hot-index serving: pin tables in executor memory, drop AQE replanning
+    engine = SearchEngine(spark, args.index_dir, config=cfg).warm().serve_mode()
     print(f"{engine.count()} documents indexed. Empty line quits.")
 
     while True:
