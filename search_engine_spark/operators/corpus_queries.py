@@ -621,10 +621,9 @@ LSH_BANDS = [(MINHASH_SEEDS[0], MINHASH_SEEDS[1]),
              (MINHASH_SEEDS[2], MINHASH_SEEDS[3])]
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via LSH banding over the MinHash
-    signatures — the scale path for dedup: no all-pairs join, only
-    equi-joins on band buckets."""
+def _lsh_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs without the presentation sort (clustering
+    consumers don't need it — a global sort before a join is wasted)."""
     sigs = q_minhash_signatures(spark, sf_dir)
     bands = [
         sigs.select(
@@ -649,8 +648,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding over the MinHash
+    signatures — the scale path for dedup: no all-pairs join, only
+    equi-joins on band buckets."""
+    return _lsh_pairs_unordered(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 _sigs_core = f"""
@@ -1271,15 +1276,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are bounded by component diameter (tiny for dedup graphs); the
     same loop GraphFrames/Pregel runs at 100 TB. Deterministic: labels
     only ever decrease to the component minimum."""
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs_unordered(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    # localCheckpoint per round: fully materializes the new labels AND
+    # truncates lineage, so each round's plan stays one join deep (a bare
+    # persist would let the plan grow per round, and unpersisting the old
+    # labels while the new frame is only partially cached would force
+    # cascading recomputation on large graphs)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     while True:
         neighbor_min = (
@@ -1301,7 +1311,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
                 ).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -1309,7 +1319,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .take(1)
         )
-        labels.unpersist()
         labels = new_labels
         if not changed:
             break

@@ -144,6 +144,14 @@ def build_index(
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
     manifest = read_manifest(index_dir)
+    if any(e["stage"] == "staged" for e in manifest):
+        # pre-docs-stage layout: its 'segment' entries reference doc ids
+        # assigned by the removed staged pass — resuming over them would
+        # silently mix old and new id spaces
+        raise ValueError(
+            f"{index_dir} was built by an older layout (manifest stage "
+            "'staged'); rebuild into a fresh directory"
+        )
     # layout width follows the shuffle setting, not the executor count, so
     # the same input yields the same files at any cluster size
     npart = shuffle_partitions or int(
@@ -241,10 +249,13 @@ def build_index(
 
     if not n_docs:
         # an empty partitionBy write leaves no files to infer schemas from
-        # — emit typed empty tables so readers (SearchEngine, WAND) work
+        # — emit typed empty tables so readers (SearchEngine, WAND) work.
+        # The empty docs table goes under seg=0/ (seg stays a partition
+        # directory, never a root-level data column) so a later streaming
+        # append into the same index keeps a consistent layout.
         for name, schema in [
-            ("docs", "doc_id long, url string, title string, "
-                     "words array<string>, n_tokens int, seg int"),
+            ("docs/seg=0", "doc_id long, url string, title string, "
+                           "words array<string>, n_tokens int"),
             ("term_positions/seg=0", "doc_id long, term string, positions array<int>"),
             ("postings/seg=0", "term string, doc_id long, tf int, dl long"),
             ("blocks/seg=0", "term string, first_doc long, max_doc long, n int, "
@@ -342,7 +353,6 @@ def build_index(
         )
         laid.unpersist()
 
-        n_seg_docs = hi - lo if n_docs else 0
         n_seg_postings = int(obs.get["n"])
         seg_seconds = time.time() - t_seg
         seg_bytes = _dir_bytes(os.path.join(index_dir, "postings", f"seg={k}"))

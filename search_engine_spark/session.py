@@ -60,11 +60,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # G1's concurrent barriers collapse under this sandbox's virtualized
         # kernel (3-8x sys-time blowup at >=32 threads, measured);
-        # throughput GC restores scaling. Applied at JVM launch when the
-        # session is created from plain python; under spark-submit pass
-        # --driver-java-options (tools/scaling_bench.py does).
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # throughput GC restores scaling. SPARK_GC_OPTS overrides (e.g. to
+        # bound ParallelGCThreads per executor — tools/scaling_bench.py
+        # sets it); setting it here via builder would otherwise CLOBBER any
+        # spark-submit --conf value for these keys.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

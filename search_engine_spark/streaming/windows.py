@@ -9,8 +9,13 @@ batch ≡ stream equivalence is a test, not a hope.
 Late data: the watermark bounds state — windows older than
 (max event time - delay) are finalized and emitted; later-arriving rows
 for them are dropped, exactly Spark's documented append-mode semantics.
-With ``trigger(availableNow)`` over a static directory every window is
-eventually emitted, which is what the equivalence test exercises.
+NOTE: when an ``availableNow`` run over a static directory stops, the
+trailing window(s) whose end exceeds (max event time - delay) remain in
+state and are NOT written — by design. Consumers needing those rows run
+the query again after more data arrives (advancing the watermark) or
+compute the tail with the batch twin
+(corpus_queries.q_events_windowed); the equivalence test asserts exactly
+the finalized-window contract.
 """
 
 from __future__ import annotations

@@ -64,6 +64,11 @@ def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
                 "SPARK_SHUFFLE_PARTITIONS", "64"
             ),
             "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+            # read by get_spark() — a spark-submit --conf for executor
+            # JVM options would be clobbered by the session builder
+            "SPARK_GC_OPTS": os.environ.get(
+                "SPARK_GC_OPTS", "-XX:+UseParallelGC -XX:ParallelGCThreads=2"
+            ),
         }
     )
     spark_submit = shutil.which("spark-submit") or os.path.join(
@@ -75,10 +80,10 @@ def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
         # must be set at JVM launch — in-session conf is too late
         "--driver-memory", env["SPARK_DRIVER_MEM"],
         # bounded GC threads: each JVM on this 32-CPU host would otherwise
-        # default to ~23 parallel GC threads — 5 JVMs of GC thrash
+        # default to ~23 parallel GC threads — 5 JVMs of GC thrash.
+        # (Executor JVM opts travel via SPARK_GC_OPTS above: a --conf here
+        # would be clobbered by the session builder in get_spark.)
         "--driver-java-options", "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
-        "--conf",
-        "spark.executor.extraJavaOptions=-XX:+UseParallelGC -XX:ParallelGCThreads=2",
         "--py-files", pyfiles,
         "--conf", "spark.ui.enabled=false",
         str(REPO / "bench.py"),
