@@ -193,7 +193,9 @@ def main() -> dict:
     md.append("")
     md.append("| query | " + " | ".join(f"{lab} p50 / p95" for lab, _, _ in LEVELS) + " |")
     md.append("|---|" + "---|" * len(LEVELS))
-    qnames = [q for q in results["N"]["queries"] if q != "index_build"]
+    # only timings that have latency samples are per-query rows
+    # (index_build / index_warm are phases, not queries)
+    qnames = list(results["N"]["detail"]["latency"])
     for q in qnames:
         cells = []
         for lab, _, _ in LEVELS:
