@@ -93,14 +93,33 @@ class SearchEngine:
 
     def serve_mode(self, enabled: bool = True) -> "SearchEngine":
         """Low-latency serving knobs (session-wide — call on a session
-        dedicated to query serving): AQE's stage-by-stage replanning is
-        the right default for large builds but adds a blocking
-        materialization per shuffle, ~20% of a small interactive query's
-        wall time — query serving disables it. Build jobs should keep AQE
-        on; flip back with serve_mode(False)."""
-        self.spark.conf.set(
-            "spark.sql.adaptive.enabled", "false" if enabled else "true"
-        )
+        dedicated to query serving):
+
+        - AQE off: its stage-by-stage replanning is right for large
+          builds but adds a blocking materialization per shuffle, ~20% of
+          a small interactive query's wall time.
+        - shuffle partitions = cluster core count: a query shuffles at
+          most a few hundred candidate rows, and a build-sized partition
+          count (e.g. 64) without AQE coalescing means dozens of task
+          waves per shuffle on a small cluster — measured 17s/query on a
+          2-core executor before this bound.
+
+        Build jobs should keep the defaults; flip back with
+        serve_mode(False)."""
+        if enabled:
+            self._build_shuffle_partitions = self.spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(self.spark.sparkContext.defaultParallelism),
+            )
+        else:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "true")
+            restore = getattr(self, "_build_shuffle_partitions", None)
+            if restore is not None:
+                self.spark.conf.set("spark.sql.shuffle.partitions", restore)
         return self
 
     # -- Q16 ---------------------------------------------------------------
@@ -138,6 +157,15 @@ class SearchEngine:
             pages = self.docs.filter(F.col("doc_id").isin(ids)).select(
                 "doc_id", "title", "url", "words"
             )
+
+        # <=INTERSECT_CAP candidate rows, but they inherit the docs table's
+        # partitioning (dozens of partitions) — without this shuffle the
+        # Arrow scoring UDF pays a Python-worker task per partition, ~7s
+        # per query on a 2-core executor (measured). One 100-row shuffle
+        # collapses the UDF stage to a single task; the doc scan itself
+        # stays parallel (repartition, NOT coalesce, so the narrow
+        # dependency doesn't shrink the scan).
+        pages = pages.repartition(1)
 
         if self.config.score_weights is not None:
             score_udf = make_score_udf(lookup, self.config.score_weights)
