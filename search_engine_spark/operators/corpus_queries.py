@@ -402,6 +402,101 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# language identification: CJK-script detection + stop-word overlap
+# --------------------------------------------------------------------------
+
+# Per-language function-word lists (high-frequency, ASCII-safe so the
+# engine tokenizer — which keeps only [\w\dåäö] — preserves them intact).
+# Deliberately small: at 100 TB this is a broadcast-free literal array in
+# the plan; predicted language is a pure per-row column expression, so the
+# operator is a narrow map with zero shuffle.
+LANG_STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "zu", "den", "von", "mit", "auf", "im", "auch"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it",
+           "for", "was", "on", "are", "with", "as"],
+    "es": ["el", "los", "las", "y", "un", "una", "es", "en", "por",
+           "para", "con", "no", "se", "su", "lo"],
+    "fr": ["le", "les", "des", "et", "une", "est", "que", "pour",
+           "dans", "qui", "pas", "sur", "au", "ce", "il"],
+}
+_CJK_NEG = "[^一-鿿]"  # strip-all-but-CJK; literal range, RE2+Java safe
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification (the stop-word-overlap heuristic named in
+    COVERAGE.md): count token occurrences in each language's function-word
+    list; predicted language = lexicographically-first argmax, 'und' when
+    no list matches, with a CJK-script pre-check ('zh' iff any CJK char).
+    On real text this is the classic cheap langid; on the synthetic corpus
+    it mostly answers 'en', which the oracle twin reproduces exactly."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        tokenize_expr(F.col("text"), lower_case=True).alias("toks"),
+    )
+    n_cjk = F.length(F.regexp_replace(F.col("text"), _CJK_NEG, "")).cast("long")
+    def _hit_count(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))
+        ).cast("long")
+
+    hits = {
+        lang: _hit_count(words)
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    m = F.greatest(*hits.values())
+    pred = F.when(n_cjk > 0, F.lit("zh")).when(m == 0, F.lit("und"))
+    for lang in sorted(LANG_STOPWORDS):
+        pred = pred.when(hits[lang] == m, F.lit(lang))
+    evidence = F.when(n_cjk > 0, n_cjk).otherwise(m)
+    return (
+        d.select(
+            "doc_id",
+            pred.alias("pred_lang"),
+            evidence.alias("evidence"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_hits_sql(words: list[str]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({in_list})))"
+
+
+_LANG_HITS = {
+    lang: _lang_hits_sql(words) for lang, words in sorted(LANG_STOPWORDS.items())
+}
+_LANG_PRED_CASES = "\n       ".join(
+    f"WHEN h_{lang} = m THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
+)
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '{_CJK_NEG}', '', 'g')) AS n_cjk,
+         {_TOKS_SQL} AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, n_cjk,
+         {", ".join(f"CAST({expr} AS BIGINT) AS h_{lang}" for lang, expr in _LANG_HITS.items())}
+  FROM t
+), g AS (
+  SELECT *, greatest({", ".join(f"h_{lang}" for lang in sorted(LANG_STOPWORDS))}) AS m
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN n_cjk > 0 THEN 'zh'
+            WHEN m = 0 THEN 'und'
+       {_LANG_PRED_CASES}
+       END AS pred_lang,
+       CAST(CASE WHEN n_cjk > 0 THEN n_cjk ELSE m END AS BIGINT) AS evidence
+FROM g ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash signatures + shingle-Jaccard near-dup pairs
 # --------------------------------------------------------------------------
 
@@ -798,7 +893,7 @@ SQL_LANG_SOURCE_ROLLUP = """
 SELECT coalesce(lang, '<all>') AS lang,
        coalesce(source, '<all>') AS source,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP(lang, source)
 ORDER BY lang, source
 """
@@ -850,31 +945,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ -> fractional epoch seconds (UTC session) — matches DuckDB epoch()
-    epoch = F.col("ts").cast("timestamp").cast("double")
-    gap = epoch - F.lag(epoch).over(by_user)
+    # NTZ -> integer epoch microseconds (UTC session). All arithmetic that
+    # feeds the output stays in exact int64 space so Spark and the DuckDB
+    # oracle are bit-identical regardless of float summation order:
+    #   - gap/duration: unix_micros vs epoch_us, both BIGINT
+    #   - sum_value: value quantised to integer micro-units, summed as
+    #     int64, divided back by the double 1e6 (one identical IEEE op)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    value_u = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
+    gap_us = micros - F.lag(micros).over(by_user)
     is_start = F.when(
-        gap.isNull() | (gap > SESSION_GAP_S), F.lit(1)
+        gap_us.isNull() | (gap_us > SESSION_GAP_S * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     sess = (
-        ev.withColumn("s", is_start)
+        ev.withColumn("us", micros)
+        .withColumn("value_u", value_u)
+        .withColumn("s", is_start)
         .withColumn(
             "session_idx",
             F.sum("s").over(
                 by_user.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+            ).cast("long"),
         )
     )
     return (
         sess.groupBy("user_id", "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.round(
-                F.max(F.col("ts").cast("timestamp").cast("double"))
-                - F.min(F.col("ts").cast("timestamp").cast("double")),
-                3,
-            ).alias("duration_s"),
+            (F.sum("value_u") / F.lit(1000000.0)).alias("sum_value"),
+            ((F.max("us") - F.min("us")) / F.lit(1000000.0)).alias(
+                "duration_s"
+            ),
         )
         .orderBy("user_id", "session_idx")
     )
@@ -882,22 +983,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE = f"""
 WITH g AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) AS us,
+         CAST(round(value * 1000000.0) AS BIGINT) AS value_u,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_S * 1_000_000}
                    OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT user_id, ts, value,
-         sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_idx
+  SELECT user_id, us, value_u,
+         CAST(sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM g
 )
 SELECT user_id, session_idx,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
-       round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_s
+       CAST(sum(value_u) AS BIGINT) / 1000000.0 AS sum_value,
+       (max(us) - min(us)) / 1000000.0 AS duration_s
 FROM numbered GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """
@@ -1142,7 +1246,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TRAIN_TEST_SPLIT = f"""
 SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < {TT_TEST_PCT}
             THEN 'test' ELSE 'train' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY split ORDER BY split
 """
 
@@ -1543,7 +1647,7 @@ WITH tx AS (
   FROM tx
 )
 SELECT conv_id, count(*) AS n_turns,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
        round(avg(gap_s), 6) AS avg_gap_s
 FROM g GROUP BY conv_id ORDER BY conv_id
 """
@@ -1563,6 +1667,7 @@ QUERIES = {
     "dedup_prefix_groups": (q_dedup_prefix_groups, SQL_DEDUP_PREFIX_GROUPS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),

@@ -98,10 +98,17 @@ def with_global_sequence(
     start: int = 1,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """See :func:`with_global_sequence_counted`; drops the row count."""
-    out, _n = with_global_sequence_counted(
+    """See :func:`with_global_sequence_counted`; drops the row count.
+
+    Releases the internal cache immediately: downstream actions re-read
+    the (reused) shuffle files and redo only the in-partition sort, which
+    is deterministic, so results are unchanged. Callers that consume the
+    output more than once should use the counted variant and unpersist
+    the returned handle after their terminal action instead."""
+    out, _n, cached = with_global_sequence_counted(
         df, order_cols, out_col, start, num_partitions
     )
+    cached.unpersist()
     return out
 
 
@@ -111,9 +118,15 @@ def with_global_sequence_counted(
     out_col: str = "doc_id",
     start: int = 1,
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Attach a dense global sequence (``start``-based) over the total order
     given by ``order_cols`` — the distributed row_number.
+
+    Returns ``(out, n_rows, cached)`` where ``cached`` is the persisted
+    range-partitioned frame the output reads through. The CALLER must
+    ``cached.unpersist()`` after its terminal action over ``out`` —
+    previously this leaked one cached frame per call, which in the
+    streaming append path accumulated without bound (one per micro-batch).
 
     Fully JVM-side, two jobs over a persisted range-partitioned frame:
     1. count rows per range partition (collects one small row per partition)
@@ -170,4 +183,4 @@ def with_global_sequence_counted(
     out = part.withColumn(
         out_col, (offset_expr + local_idx).cast("long")
     ).drop("_pid", "_mid")
-    return out, acc - start
+    return out, acc - start, part

@@ -130,7 +130,7 @@ def build_index(
     segments: int = 4,
     shuffle_partitions: Optional[int] = None,
     fail_after_segment: Optional[int] = None,
-    check_unique_urls: bool = False,
+    check_unique_urls: bool = True,
 ) -> BuildResult:
     """Build (or resume) the index for ``corpus`` into ``index_dir``.
 
@@ -187,7 +187,7 @@ def build_index(
             # with_global_sequence leaves the data range-partitioned and
             # sorted in doc_id order; its partition-size collect supplies
             # n_docs (and the dense 1..n id bounds) with no extra job
-            assigned, n_docs = with_global_sequence_counted(
+            assigned, n_docs, seq_cache = with_global_sequence_counted(
                 corpus, list(order_cols), "doc_id", num_partitions=npart
             )
             min_id, max_id = (1, n_docs) if n_docs else (0, 0)
@@ -225,8 +225,12 @@ def build_index(
             .partitionBy("seg")
             .parquet(docs_dir)
         )
+        # the docs write above is the terminal read through the doc-id
+        # assignment cache — release it (mode-dependent handle)
         if mode == "reference":
             assigned.unpersist()
+        else:
+            seq_cache.unpersist()
         got = doc_obs.get
         corpus_stats = {
             "n_docs": int(got["n"]),

@@ -76,18 +76,37 @@ class SearchEngine:
             self.corpus_stats = json.load(fh)
         self._warmed = False
 
-    def warm(self) -> "SearchEngine":
-        """Pin the index tables in executor memory (MEMORY_AND_DISK) and
-        materialize them — the Spark analogue of the reference keeping its
-        index resident (memory-storage.ts) / the OS page cache under its
-        binary files. Repeated queries then skip the parquet scans
-        entirely. On a cluster this is executor-memory-resident columnar
-        cache, partition-pruned by Spark's InMemoryTableScan."""
+    def warm(self, pin_docs: bool = True) -> "SearchEngine":
+        """Pin the hot index tables in executor memory (MEMORY_AND_DISK)
+        and materialize them — the Spark analogue of the reference keeping
+        its index resident (memory-storage.ts) / the OS page cache under
+        its binary files. Repeated queries then skip the parquet scans.
+
+        What gets pinned is BOUNDED by design:
+
+        - ``postings`` + ``term_positions`` always — the per-term tables
+          the candidate stage reads, compact delta-friendly columns.
+        - ``docs`` only when ``pin_docs`` (default), and then only the
+          4-column projection the scoring/snippet stage needs — never the
+          full table.
+
+        100 TB serving story: set ``pin_docs=False``. ``docs`` is the
+        dominant table (full token arrays) and cannot be executor-resident
+        at that scale; the engine then keeps the reference's
+        fetch-after-slice shape — <=100 candidate ids collected and pushed
+        into the parquet scan as an IN filter, pruning to a handful of row
+        groups. Candidate tables can still be pinned (or, beyond memory,
+        served from pruned scans too — queries only ever read the
+        query-term slivers of them)."""
         self.postings = self.postings.persist()
         self.term_positions = self.term_positions.persist()
-        self.docs = self.docs.persist()
-        for df in (self.postings, self.term_positions, self.docs):
+        for df in (self.postings, self.term_positions):
             df.count()
+        if pin_docs:
+            self._docs_proj = self.docs.select(
+                "doc_id", "title", "url", "words"
+            ).persist()
+            self._docs_proj.count()
         self._warmed = True
         return self
 
@@ -107,19 +126,31 @@ class SearchEngine:
         Build jobs should keep the defaults; flip back with
         serve_mode(False)."""
         if enabled:
-            self._build_shuffle_partitions = self.spark.conf.get(
-                "spark.sql.shuffle.partitions"
-            )
+            # capture the build-time conf only on the FIRST enable — a
+            # repeated serve_mode(True) must not overwrite the saved
+            # values with the already-shrunk serving ones
+            if not hasattr(self, "_build_shuffle_partitions"):
+                self._build_shuffle_partitions = self.spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+                self._build_aqe = self.spark.conf.get(
+                    "spark.sql.adaptive.enabled"
+                )
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
             self.spark.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(self.spark.sparkContext.defaultParallelism),
             )
         else:
-            self.spark.conf.set("spark.sql.adaptive.enabled", "true")
-            restore = getattr(self, "_build_shuffle_partitions", None)
-            if restore is not None:
-                self.spark.conf.set("spark.sql.shuffle.partitions", restore)
+            if hasattr(self, "_build_aqe"):
+                self.spark.conf.set(
+                    "spark.sql.adaptive.enabled", self._build_aqe
+                )
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    self._build_shuffle_partitions,
+                )
+                del self._build_aqe, self._build_shuffle_partitions
         return self
 
     # -- Q16 ---------------------------------------------------------------
@@ -139,11 +170,11 @@ class SearchEngine:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         cand = self.candidates(words, quotes, lookup)
 
-        if self._warmed:
+        if self._warmed and getattr(self, "_docs_proj", None) is not None:
             # fused single-job path: the <=100 candidates broadcast-join
             # the in-memory docs cache — no intermediate collect, halves
             # per-query latency on a hot index
-            pages = self.docs.join(
+            pages = self._docs_proj.join(
                 F.broadcast(cand.select("doc_id")), "doc_id"
             ).select("doc_id", "title", "url", "words")
         else:
@@ -205,6 +236,12 @@ class SearchEngine:
             # single-list fast path: first 100 postings, quote predicate
             # SKIPPED (engine.ts:398-404)
             cand = p.select("doc_id")
+        elif quotes:
+            # fused path: conjunctive membership AND the phrase predicate
+            # from ONE aggregation over term_positions — one shuffle where
+            # the unfused plan (postings groupBy + positions join +
+            # regroup) had three
+            cand = self._fused_phrase_candidates(words, quotes, terms)
         else:
             cand = (
                 p.groupBy("doc_id")
@@ -212,37 +249,40 @@ class SearchEngine:
                 .filter(F.col("n_terms") == len(terms))
                 .select("doc_id")
             )
-            if quotes:
-                cand = self._phrase_filter(cand, words, quotes)
         return cand.orderBy("doc_id").limit(INTERSECT_CAP)
 
-    def _phrase_filter(
-        self, cand: DataFrame, words: Sequence[str], quotes: Sequence[int]
+    def _fused_phrase_candidates(
+        self,
+        words: Sequence[str],
+        quotes: Sequence[int],
+        terms: Sequence[str],
     ) -> DataFrame:
-        """Keep candidates where at least one quoted phrase occurs
-        (isQuoteOnPage, engine.ts:117-125). Pure Column expressions over
-        the positional index — shift word i's positions by -i, fold
-        array_intersect, non-empty means adjacent (engine.ts:267-284)."""
-        pairs: list[list[str]] = []
-        qterms: set[str] = set()
-        for i in range(0, len(quotes), 2):
-            end = quotes[i + 1] if i + 1 < len(quotes) else None
-            qw = list(words[quotes[i]:end])
-            pairs.append(qw)
-            qterms.update(w.lower() for w in qw)
+        """Candidate generation + phrase predicate in one aggregation.
 
-        tp = self.term_positions.filter(F.col("term").isin(sorted(qterms)))
-        tp = tp.join(cand, "doc_id")
-        posmap = tp.groupBy("doc_id").agg(
+        ``term_positions`` indexes EVERY term of a doc (stop words
+        included, B6) with one row per (doc_id, term), so conjunctive
+        membership over the stop-filtered lookup terms is a count of
+        matching rows per doc, and the quoted-adjacency predicate
+        (engine.ts:117-125, 250-284) evaluates over the same grouped
+        position map — the whole candidate stage is a single pushed
+        IN-scan + one groupBy(doc_id)."""
+        pairs, qterms = _quote_pairs(words, quotes)
+        all_terms = sorted(set(terms) | qterms)
+        tp = self.term_positions.filter(F.col("term").isin(all_terms))
+        agg = tp.groupBy("doc_id").agg(
+            F.count(F.when(F.col("term").isin(list(terms)), 1)).alias(
+                "n_match"
+            ),
             F.map_from_entries(
                 F.collect_list(F.struct("term", "positions"))
-            ).alias("pos")
+            ).alias("pos"),
         )
-
         pred = F.lit(False)
         for qw in pairs:
             pred = pred | _adjacency_expr(F.col("pos"), qw)
-        return posmap.filter(pred).select("doc_id")
+        return agg.filter(
+            (F.col("n_match") == len(terms)) & pred
+        ).select("doc_id")
 
     # -- BM25 (scale path; see bm25.py / wand.py) ---------------------------
     def search_bm25(self, text: str, k: int = 10, conjunctive: bool = False,
@@ -253,6 +293,21 @@ class SearchEngine:
         if use_wand:
             return wand_topk(self, text, k=k, conjunctive=conjunctive)
         return bm25_topk(self, text, k=k, conjunctive=conjunctive)
+
+
+def _quote_pairs(
+    words: Sequence[str], quotes: Sequence[int]
+) -> tuple[list[list[str]], set[str]]:
+    """Expand flat [start, end) quote-index pairs (B2) into the quoted
+    word sequences plus the set of lowercased terms they touch."""
+    pairs: list[list[str]] = []
+    qterms: set[str] = set()
+    for i in range(0, len(quotes), 2):
+        end = quotes[i + 1] if i + 1 < len(quotes) else None
+        qw = list(words[quotes[i]:end])
+        pairs.append(qw)
+        qterms.update(w.lower() for w in qw)
+    return pairs, qterms
 
 
 def _adjacency_expr(map_col, quoted_words: Sequence[str]):

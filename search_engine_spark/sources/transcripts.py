@@ -44,13 +44,37 @@ TRANSCRIPT_SCHEMA = T.StructType(
 TRANSCRIPT_ORDER = ("conv_id", "turn_idx")
 
 
-def corpus_from_transcripts(transcripts: DataFrame) -> DataFrame:
+def is_wellformed(text_col, url_col) -> "F.Column":
+    """Reference bulk-ingest skip rule (demo.ts:118-122), over corpus
+    columns: a row is malformed when text is null/empty, the doc key is
+    null/empty, text contains ``|``, or text starts with ``]``. Returns
+    the KEEP condition so callers can also count skips via ~cond."""
+    return (
+        text_col.isNotNull()
+        & (F.length(text_col) > 0)
+        & url_col.isNotNull()
+        & (F.length(url_col) > 0)
+        & ~text_col.contains("|")
+        & ~text_col.startswith("]")
+    )
+
+
+def corpus_from_transcripts(
+    transcripts: DataFrame, malformed_filter: bool = True
+) -> DataFrame:
     """Map transcript turns to the engine's corpus shape.
 
     Keeps the transcript sort keys so doc-id assignment can use the stable
     total order (input_hint: per-turn text equality under stable
     (conv_id, turn_idx) ordering).
+
+    ``malformed_filter`` replicates the reference's ingest skip rule
+    (demo.ts:118-122) — on by default, as in the reference demo driver.
     """
+    if malformed_filter:
+        transcripts = transcripts.filter(
+            is_wellformed(F.col("text"), F.col("conv_id"))
+        )
     return transcripts.select(
         F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")).alias("url"),
         F.concat_ws(

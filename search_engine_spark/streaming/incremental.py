@@ -63,11 +63,12 @@ def append_batch(
     npart = npart or int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = _max_doc_id(spark, index_dir)
 
-    assigned, n_new = with_global_sequence_counted(
+    assigned, n_new, seq_cache = with_global_sequence_counted(
         corpus, ["conv_id", "turn_idx"], "doc_id", start=base + 1,
         num_partitions=npart,
     )
     if n_new == 0:
+        seq_cache.unpersist()
         return 0
 
     if config.tokenizer == "arrow":
@@ -82,6 +83,9 @@ def append_batch(
         "doc_id", "url", "title", "words", "n_tokens",
         *[c for c in ("conv_id", "turn_idx", "ts") if c in corpus.columns],
     ).write.mode("overwrite").parquet(docs_seg_dir)
+    # docs write is the terminal read through the doc-id cache — release
+    # it here, or a long-running stream leaks one cached frame per batch
+    seq_cache.unpersist()
     # read the tokenized docs back — don't retokenize (see build_index)
     docs = spark.read.parquet(docs_seg_dir)
 
