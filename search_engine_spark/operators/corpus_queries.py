@@ -27,6 +27,7 @@ PHRASE = ("table", "scan")
 BM25_K1, BM25_B = 1.2, 0.75
 MINHASH_SEEDS = [1, 2, 3, 4]
 SHINGLE_N = 3
+SHINGLE_DF_CAP = 64  # drop shingles in >64 docs before the pair join
 JACCARD_MIN = 0.2
 SIMHASH_BITS = 16
 STOP_LIST = sorted(DEMO_STOP_WORDS)
@@ -546,11 +547,27 @@ GROUP BY doc_id ORDER BY doc_id
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by shingle Jaccard — the classic
-    shingle->inverted-list->pair-count plan (no all-pairs product)."""
+    shingle->inverted-list->pair-count plan (no all-pairs product).
+
+    The operator's DEFINITION includes a shingle document-frequency cap
+    (SHINGLE_DF_CAP, oracle twin identical): a shingle appearing in more
+    than CAP docs contributes CAP^2 rows to the equi-join, so one
+    Zipf-frequent shingle ('in the course of') makes the join quadratic
+    at scale. Capped shingles carry no near-dup signal anyway — they are
+    boilerplate by construction. Dropping them bounds the join at
+    |shingles| * CAP^2 regardless of corpus size (tested with an injected
+    skew corpus in tests/test_corpus_oracle.py)."""
     toks = _tokens_df(spark, sf_dir).filter(F.size("toks") >= SHINGLE_N)
-    sh = toks.select(
+    sh_all = toks.select(
         "doc_id", F.explode(_shingles(F.col("toks"))).alias("sh")
     )
+    rare = (
+        sh_all.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh_all.join(rare, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -581,9 +598,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
   WHERE len({_TOKS_SQL}) >= {SHINGLE_N}
+), rare AS (
+  SELECT sh FROM (
+    SELECT sh, count(DISTINCT doc_id) AS df FROM sh_all GROUP BY sh
+  ) WHERE df <= {SHINGLE_DF_CAP}
+), sh AS (
+  SELECT sh_all.doc_id, sh_all.sh FROM sh_all JOIN rare USING (sh)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (

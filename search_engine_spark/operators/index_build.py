@@ -57,6 +57,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsio
 from ..config import EngineConfig
 from ..functions.tokenizer import tokenize_expr, tokenize_words_udf
 from .docids import with_global_sequence_counted, with_reference_ids
@@ -78,29 +79,27 @@ def _manifest_path(index_dir: str) -> str:
 
 
 def read_manifest(index_dir: str) -> list[dict]:
+    """Checkpoint lineage, read through the Hadoop FS API so resume works
+    against object storage (HDFS/S3A/GCS), not only the driver's disk."""
     path = _manifest_path(index_dir)
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         return []
-    with open(path) as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+    return [
+        json.loads(line)
+        for line in fsio.read_text(path).splitlines()
+        if line.strip()
+    ]
 
 
 def _append_manifest(index_dir: str, entry: dict) -> None:
-    os.makedirs(index_dir, exist_ok=True)
-    with open(_manifest_path(index_dir), "a") as fh:
-        fh.write(json.dumps(entry, sort_keys=True) + "\n")
+    fsio.mkdirs(index_dir)
+    fsio.append_line(
+        _manifest_path(index_dir), json.dumps(entry, sort_keys=True)
+    )
 
 
 def _completed(manifest: list[dict], stage: str) -> set:
     return {e.get("segment") for e in manifest if e["stage"] == stage and e.get("ok")}
-
-
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
 
 
 def _segment_bounds(
@@ -142,7 +141,7 @@ def build_index(
     ``fail_after_segment`` injects a crash for the resume test.
     """
     t0 = time.time()
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.mkdirs(index_dir)
     manifest = read_manifest(index_dir)
     if any(e["stage"] == "staged" for e in manifest):
         # pre-docs-stage layout: its 'segment' entries reference doc ids
@@ -236,8 +235,10 @@ def build_index(
             "n_docs": int(got["n"]),
             "avgdl": (float(got["sum_dl"]) / got["n"]) if got["n"] else 0.0,
         }
-        with open(os.path.join(index_dir, "corpus_stats.json"), "w") as fh:
-            json.dump(corpus_stats, fh)
+        fsio.write_text(
+            os.path.join(index_dir, "corpus_stats.json"),
+            json.dumps(corpus_stats),
+        )
         _append_manifest(
             index_dir,
             {"stage": "docs", "ok": True, "n_docs": n_docs,
@@ -248,8 +249,9 @@ def build_index(
     docs_entry = next(e for e in manifest if e["stage"] == "docs")
     n_docs = docs_entry["n_docs"]
     min_id, max_id = docs_entry["min_id"], docs_entry["max_id"]
-    with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
-        corpus_stats = json.load(fh)
+    corpus_stats = json.loads(
+        fsio.read_text(os.path.join(index_dir, "corpus_stats.json"))
+    )
 
     if not n_docs:
         # an empty partitionBy write leaves no files to infer schemas from
@@ -359,7 +361,9 @@ def build_index(
 
         n_seg_postings = int(obs.get["n"])
         seg_seconds = time.time() - t_seg
-        seg_bytes = _dir_bytes(os.path.join(index_dir, "postings", f"seg={k}"))
+        seg_bytes = fsio.dir_bytes(
+            os.path.join(index_dir, "postings", f"seg={k}")
+        )
         _append_manifest(
             index_dir,
             {

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import fsio
 from ..config import EngineConfig
 from ..functions.tokenizer import is_stop_word, tokenize
 from .scoring import make_score_udf
@@ -72,8 +73,9 @@ class SearchEngine:
         self.term_positions = spark.read.parquet(
             os.path.join(index_dir, "term_positions")
         )
-        with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
-            self.corpus_stats = json.load(fh)
+        self.corpus_stats = json.loads(
+            fsio.read_text(os.path.join(index_dir, "corpus_stats.json"))
+        )
         self._warmed = False
 
     def warm(self, pin_docs: bool = True) -> "SearchEngine":

@@ -30,6 +30,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsio
 from ..config import EngineConfig
 from ..functions.tokenizer import tokenize_expr, tokenize_words_udf
 from ..sources.transcripts import TRANSCRIPT_SCHEMA, corpus_from_transcripts
@@ -43,7 +44,7 @@ from ..operators.index_build import (
 
 def _max_doc_id(spark: SparkSession, index_dir: str) -> int:
     docs_dir = os.path.join(index_dir, "docs")
-    if not os.path.isdir(docs_dir):
+    if not fsio.is_dir(docs_dir):
         return 0
     row = spark.read.parquet(docs_dir).agg(F.max("doc_id").alias("m")).first()
     return int(row["m"] or 0)
@@ -147,8 +148,9 @@ def refresh_stats(
         F.count("*").alias("n_docs"), F.avg("n_tokens").alias("avgdl")
     ).first()
     stats = {"n_docs": int(row["n_docs"]), "avgdl": float(row["avgdl"] or 0.0)}
-    with open(os.path.join(index_dir, "corpus_stats.json"), "w") as fh:
-        json.dump(stats, fh)
+    fsio.write_text(
+        os.path.join(index_dir, "corpus_stats.json"), json.dumps(stats)
+    )
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     (

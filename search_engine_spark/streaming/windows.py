@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 
+from .. import fsio
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -89,4 +90,4 @@ def stream_windowed_counts(
     )
     q.awaitTermination()
     # touch the output dir even for empty streams so readers don't 404
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.mkdirs(out_dir)

@@ -74,3 +74,49 @@ def test_matches_duckdb_oracle(spark, duck, name):
     )
     assert len(s_norm) == len(d_norm)
     assert s_norm == d_norm
+
+
+def test_ngram_jaccard_df_cap_kills_zipf_skew(spark, tmp_path):
+    """A boilerplate shingle shared by every doc must NOT create O(n^2)
+    pairs: the df cap drops it before the self-join, while a genuine
+    near-dup pair (overlap through rare shingles) survives."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.corpus_queries import (
+        SHINGLE_DF_CAP,
+        _shingles,
+        _tokens_df,
+        q_ngram_jaccard_pairs,
+    )
+
+    dup = "orbit probe lander rover beacon relay antenna dish mast"
+    rows = [
+        # 100 docs whose ONLY mutual overlap is the boilerplate prefix
+        (i, f"alpha beta gamma delta unique{i} token{i} tail{i}")
+        for i in range(100)
+    ] + [(1000, dup), (1001, dup + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1000, 1001) in pairs  # real near-dup survives
+    # boilerplate-only pairs are gone (without the cap, jaccard would be
+    # 2/(5+5-2)=0.25 >= JACCARD_MIN for every one of the 4950 pairs)
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+    n_dropped = (
+        _tokens_df(spark, str(tmp_path))
+        .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .count()
+    )
+    assert n_dropped == 2  # 'alpha beta gamma', 'beta gamma delta'
