@@ -126,10 +126,26 @@ def run(master: str | None = None, sf_dir: str | None = None,
                     k: s[k]
                     for k in (
                         "throughput_turns_per_sec", "speedup", "efficiency",
-                        "levels", "n_turns", "via",
+                        "levels", "n_turns", "via", "commit", "measured_at",
                     )
                     if k in s
                 }
+                # the scaling run is a separate, slower harness — flag
+                # (don't silently reuse) numbers measured at an older
+                # commit than the code being benchmarked right now
+                import subprocess
+
+                try:
+                    head = subprocess.run(
+                        ["git", "-C", str(Path(__file__).resolve().parent),
+                         "rev-parse", "HEAD"],
+                        capture_output=True, text=True, check=True,
+                    ).stdout.strip()
+                except (OSError, subprocess.CalledProcessError):
+                    head = None
+                scaling["stale_vs_head"] = bool(
+                    head and scaling.get("commit") and scaling["commit"] != head
+                ) or scaling.get("commit") is None
             except (ValueError, KeyError):
                 scaling = None
 

@@ -56,8 +56,11 @@ def bm25_topk(
     n_docs = F.lit(float(engine.corpus_stats["n_docs"]))
     avgdl = F.lit(float(engine.corpus_stats["avgdl"]) or 1.0)
 
-    term_stats = spark.read.parquet(f"{engine.index_dir}/term_stats")
-    stats = term_stats.filter(F.col("term").isin(terms)).select("term", "df")
+    stats = (
+        engine.term_stats()
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
 
     p = engine.postings.filter(F.col("term").isin(terms))
     p = p.join(F.broadcast(stats), "term")

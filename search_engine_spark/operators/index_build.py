@@ -164,13 +164,6 @@ def build_index(
     # write+read per build that was pure serial overhead at scale.)
     docs_dir = os.path.join(index_dir, "docs")
     if "docs" not in {e["stage"] for e in manifest if e.get("ok")}:
-        if check_unique_urls:
-            dupes = (
-                corpus.groupBy("url").count().filter(F.col("count") > 1).take(1)
-            )
-            if dupes:
-                # parity with engine.ts:56-58
-                raise ValueError(f"page already in index: {dupes[0]['url']}")
         if mode == "reference":
             assigned = (
                 with_reference_ids(corpus, "rank", ["arrival"])
@@ -190,6 +183,20 @@ def build_index(
                 corpus, list(order_cols), "doc_id", num_partitions=npart
             )
             min_id, max_id = (1, n_docs) if n_docs else (0, 0)
+
+        if check_unique_urls:
+            # parity with engine.ts:56-58 (the reference throws on any
+            # duplicate url). Runs AGAINST THE ASSIGNMENT CACHE — checking
+            # the raw corpus instead would re-execute the whole upstream
+            # pipeline for one guard job (measured ~10% of build time);
+            # nothing has been written yet, so failing here still fails
+            # the build cleanly before any index bytes land.
+            dupes = (
+                assigned.groupBy("url").count()
+                .filter(F.col("count") > 1).take(1)
+            )
+            if dupes:
+                raise ValueError(f"page already in index: {dupes[0]['url']}")
 
         if config.tokenizer == "arrow":
             words = tokenize_words_udf(F.concat_ws(" ", "title", "text"))

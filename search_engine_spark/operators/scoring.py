@@ -95,23 +95,47 @@ def score_page(
     return score
 
 
-def make_score_udf(query_words: Sequence[str], weights: Optional[ScoreWeights]):
-    """Arrow-batched UDF ``(title, url, words) -> double`` closing over the
-    parsed query. Candidates are <=100 rows (intersection cap,
-    engine.ts:134), so one batch."""
+def make_score_intro_udf(
+    query_words: Sequence[str],
+    all_words: Sequence[str],
+    quotes: Sequence[int],
+    weights: Optional[ScoreWeights],
+):
+    """ONE Arrow-batched UDF ``(title, url, words) -> struct<score,
+    introduction>`` fusing Q8-Q10 scoring with Q13 snippet construction.
+
+    Candidates are <=100 rows (intersection cap, engine.ts:134) in a
+    single partition, so this is one Python-worker round-trip per query;
+    the previous two-stage plan (score UDF -> sort/limit -> snippet UDF)
+    paid a second Arrow stage (~0.4-0.5 s measured) to snippet 10 rows
+    instead of 100 — per-row snippet cost is microseconds, the stage
+    setup was the cost. ``query_words`` is the stop-filtered list the
+    scorer sees (engine.ts:109-111,138); ``all_words``/``quotes`` are the
+    full parse the snippet builder needs (positions must line up,
+    engine.ts:291-374)."""
+    from .snippets import construct_introduction
+
     qw = list(query_words)
+    aw, qt = list(all_words), list(quotes)
+    out_schema = T.StructType(
+        [
+            T.StructField("score", T.DoubleType()),
+            T.StructField("introduction", T.StringType()),
+        ]
+    )
 
-    @F.pandas_udf(T.DoubleType())
-    def _score(
+    @F.pandas_udf(out_schema)
+    def _score_intro(
         batches: Iterator[tuple[pd.Series, pd.Series, pd.Series]]
-    ) -> Iterator[pd.Series]:
+    ) -> Iterator[pd.DataFrame]:
         for title, url, words in batches:
-            yield pd.Series(
-                [
-                    score_page(qw, weights, t, u, list(w))
-                    for t, u, w in zip(title, url, words)
-                ],
-                dtype="float64",
-            )
+            rows = [
+                (
+                    score_page(qw, weights, t, u, list(w)),
+                    construct_introduction(aw, qt, list(w)),
+                )
+                for t, u, w in zip(title, url, words)
+            ]
+            yield pd.DataFrame(rows, columns=["score", "introduction"])
 
-    return _score
+    return _score_intro

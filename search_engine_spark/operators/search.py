@@ -39,8 +39,7 @@ from pyspark.sql import types as T
 from .. import fsio
 from ..config import EngineConfig
 from ..functions.tokenizer import is_stop_word, tokenize
-from .scoring import make_score_udf
-from .snippets import make_introduction_udf
+from .scoring import make_score_intro_udf
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -77,6 +76,26 @@ class SearchEngine:
             fsio.read_text(os.path.join(index_dir, "corpus_stats.json"))
         )
         self._warmed = False
+        self._term_stats: Optional[DataFrame] = None
+        self._blocks: Optional[DataFrame] = None
+
+    def term_stats(self) -> DataFrame:
+        """(term, df, max_tf) — one cached DataFrame handle per engine so
+        BM25/WAND queries don't re-resolve the parquet listing per call
+        (and the warmed cache is actually reused across queries)."""
+        if self._term_stats is None:
+            self._term_stats = self.spark.read.parquet(
+                os.path.join(self.index_dir, "term_stats")
+            )
+        return self._term_stats
+
+    def blocks(self) -> DataFrame:
+        """Delta-encoded block-max postings blocks (WAND scale path)."""
+        if self._blocks is None:
+            self._blocks = self.spark.read.parquet(
+                os.path.join(self.index_dir, "blocks")
+            )
+        return self._blocks
 
     def warm(self, pin_docs: bool = True) -> "SearchEngine":
         """Pin the hot index tables in executor memory (MEMORY_AND_DISK)
@@ -102,7 +121,12 @@ class SearchEngine:
         query-term slivers of them)."""
         self.postings = self.postings.persist()
         self.term_positions = self.term_positions.persist()
-        for df in (self.postings, self.term_positions):
+        # per-term document-frequency stats: one row per term, ~1000x
+        # smaller than postings — pinning it means every BM25/WAND query
+        # builds its broadcast stats side from executor memory instead of
+        # a parquet scan
+        self._term_stats = self.term_stats().persist()
+        for df in (self.postings, self.term_positions, self._term_stats):
             df.count()
         if pin_docs:
             self._docs_proj = self.docs.select(
@@ -200,20 +224,24 @@ class SearchEngine:
         # dependency doesn't shrink the scan).
         pages = pages.repartition(1)
 
-        if self.config.score_weights is not None:
-            score_udf = make_score_udf(lookup, self.config.score_weights)
-            pages = pages.withColumn(
-                "score", score_udf("title", "url", "words")
-            )
-        else:
-            pages = pages.withColumn("score", F.lit(0.0))
-
-        topk = pages.orderBy(F.desc("score"), F.asc("doc_id")).limit(max_count)
-        intro = make_introduction_udf(words, quotes)
+        # score (Q8-Q10) + snippet (Q13) in ONE Arrow stage over the <=100
+        # candidates; the reference snippets only the top max_count
+        # (engine.ts:141-150) but per-row snippet cost is negligible next
+        # to a second Python-worker stage, and results are identical
+        both = make_score_intro_udf(
+            lookup, words, quotes, self.config.score_weights
+        )
+        scored = pages.withColumn("si", both("title", "url", "words"))
         return (
-            topk.withColumn("introduction", intro("words"))
-            .select("doc_id", "score", "title", "introduction", "url")
+            scored.select(
+                "doc_id",
+                F.col("si.score").alias("score"),
+                "title",
+                F.col("si.introduction").alias("introduction"),
+                "url",
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(max_count)
         )
 
     def candidates(
@@ -271,12 +299,19 @@ class SearchEngine:
         pairs, qterms = _quote_pairs(words, quotes)
         all_terms = sorted(set(terms) | qterms)
         tp = self.term_positions.filter(F.col("term").isin(all_terms))
+        # collect_list drops nulls: position arrays ride the shuffle only
+        # for quoted terms — membership terms contribute a count, not data
         agg = tp.groupBy("doc_id").agg(
             F.count(F.when(F.col("term").isin(list(terms)), 1)).alias(
                 "n_match"
             ),
             F.map_from_entries(
-                F.collect_list(F.struct("term", "positions"))
+                F.collect_list(
+                    F.when(
+                        F.col("term").isin(sorted(qterms)),
+                        F.struct("term", "positions"),
+                    )
+                )
             ).alias("pos"),
         )
         pred = F.lit(False)

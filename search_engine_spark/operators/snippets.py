@@ -23,12 +23,7 @@ exercises that path.
 from __future__ import annotations
 
 import re
-from typing import Iterator, Optional, Sequence
-
-import pandas as pd
-
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
+from typing import Optional, Sequence
 
 
 def adjacent_intersection(position_lists: Sequence[Sequence[int]]) -> list[int]:
@@ -119,16 +114,6 @@ def construct_introduction(
     return re.sub('("- | -")', '"', " ".join(out))
 
 
-def make_introduction_udf(query_words: Sequence[str], quotes: Sequence[int]):
-    """Arrow-batched UDF ``(words) -> string`` closing over the parsed
-    query; applied to the <= maxCount final rows only."""
-    qw, qt = list(query_words), list(quotes)
-
-    @F.pandas_udf(T.StringType())
-    def _intro(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for words in batches:
-            yield words.map(
-                lambda w: construct_introduction(qw, qt, list(w))
-            )
-
-    return _intro
+# The Arrow UDF that evaluates construct_introduction lives in
+# scoring.make_score_intro_udf — snippets share the scorer's single
+# Python-worker stage over the <=100 candidates (one round-trip/query).

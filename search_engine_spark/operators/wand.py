@@ -112,13 +112,11 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
     n = float(engine.corpus_stats["n_docs"])
 
     stats = (
-        spark.read.parquet(f"{engine.index_dir}/term_stats")
+        engine.term_stats()
         .filter(F.col("term").isin(terms))
         .select("term", "df")
     )
-    blocks = spark.read.parquet(f"{engine.index_dir}/blocks").filter(
-        F.col("term").isin(terms)
-    )
+    blocks = engine.blocks().filter(F.col("term").isin(terms))
 
     # -- step 1: per-term stats + upper bounds (driver-side, |terms| rows;
     # ONE collect — stats and block maxima join before hitting the driver) --

@@ -20,6 +20,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -138,8 +139,20 @@ def main() -> dict:
     speedup = tput["4N"] / tput["N"]
     efficiency = speedup / factor
 
+    try:
+        head = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        head = None
+
     summary = {
         "metric": "scaling efficiency (build throughput, 1 -> 4 executors)",
+        # commit the measured code was at — bench.py refuses to report
+        # these numbers as current when HEAD has moved past this
+        "commit": head,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf_dir": sf_dir,
         "n_turns": results["4N"]["detail"]["n_turns"],
         "throughput_turns_per_sec": tput,
