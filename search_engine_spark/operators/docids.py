@@ -13,8 +13,11 @@ Two modes:
   semantics. The probe is order-dependent (doc i's id depends on ids of all
   docs that arrived before it), i.e. inherently sequential, so it runs on
   the driver over just the ``(arrival, rank)`` pairs using a union-find
-  "next free at or below" structure (O(α) per doc, ~16 bytes/doc; fine to
-  ~10^8 docs). Used for rank-parity with the reference test fixtures.
+  "next free at or below" structure. The union-find itself is O(α)/doc and
+  ~16 B/doc, but the collected pairs are Python Row objects (~100 B each),
+  so the practical driver ceiling is ~10^7 docs — this mode exists ONLY
+  for rank-parity with the reference test fixtures (tens of docs) and is
+  not a scale path; production ingest uses with_global_sequence.
 
 - :func:`with_global_sequence` — the scale path (BASELINE.json input_hint:
   ``rank = row_number() over (order by conv_id, turn_idx)``). Collision-free

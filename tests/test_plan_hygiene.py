@@ -93,3 +93,40 @@ def test_reference_search_postings_pushdown(engine):
     plan = plan_of(df)
     assert "In(term" in plan
     assert "lower(" not in plan
+
+
+def test_phrase_search_single_arrow_stage(engine):
+    """The fused phrase plan: one pushed IN-scan over term_positions for
+    candidates and exactly ONE ArrowEvalPython stage (combined
+    score+snippet UDF) — the two-stage plan cost a second Python worker
+    round-trip per query."""
+    df = engine.search('"table scan" merge', max_count=10)
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("ArrowEvalPython") == 1, physical
+    # candidate sub-plan (executed eagerly on the cold path): membership +
+    # phrase predicate in one aggregation over a pushed IN-scan
+    cand = engine.candidates(
+        ["table", "scan", "merge"], [0, 2], ["table", "scan", "merge"]
+    )
+    cand_plan = plan_of(cand)
+    assert "In(term" in cand_plan
+    assert cand_plan.count("Exchange") <= 2, cand_plan  # one agg shuffle (+AQE read)
+
+
+def test_warm_paths_hit_cache(spark, tmp_path_factory):
+    """After warm(), query plans read InMemoryTableScan (executor cache),
+    not fresh parquet scans, and results equal the cold path."""
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights())
+    idx = tmp_path_factory.mktemp("warm_idx")
+    tx = synthesize_transcripts(spark, f"{SF_DIR}/documents.parquet")
+    build_index(
+        spark, corpus_from_transcripts(tx), str(idx), config=cfg, segments=2
+    )
+    eng = SearchEngine(spark, str(idx), config=cfg)
+    cold = [tuple(r) for r in eng.search_bm25("filter join window", k=10).collect()]
+    eng.warm()
+    df = eng.search_bm25("filter join window", k=10)
+    assert "InMemoryTableScan" in plan_of(df)
+    assert [tuple(r) for r in df.collect()] == cold
