@@ -143,9 +143,13 @@ def run(master: str | None = None, sf_dir: str | None = None,
                     ).stdout.strip()
                 except (OSError, subprocess.CalledProcessError):
                     head = None
-                scaling["stale_vs_head"] = bool(
-                    head and scaling.get("commit") and scaling["commit"] != head
-                ) or scaling.get("commit") is None
+                # unknown provenance (no recorded commit, or HEAD not
+                # resolvable here) is reported as stale, never as current
+                scaling["stale_vs_head"] = (
+                    head is None
+                    or scaling.get("commit") is None
+                    or scaling["commit"] != head
+                )
             except (ValueError, KeyError):
                 scaling = None
 

@@ -22,6 +22,8 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+TMP_SUFFIX = ".__tmp__"
+
 
 def _fs(path: str, spark: Optional[SparkSession] = None):
     spark = spark or SparkSession.getActiveSession()
@@ -36,8 +38,13 @@ def _fs(path: str, spark: Optional[SparkSession] = None):
 
 
 def exists(path: str, spark: Optional[SparkSession] = None) -> bool:
+    """True if ``path`` exists — including when only its write-temp
+    survives a crashed rewrite (see :func:`write_text`); content is
+    recovered on the next :func:`read_text`."""
     _jvm, fs, jpath = _fs(path, spark)
-    return bool(fs.exists(jpath))
+    if fs.exists(jpath):
+        return True
+    return bool(fs.exists(_jvm.org.apache.hadoop.fs.Path(path + TMP_SUFFIX)))
 
 
 def is_dir(path: str, spark: Optional[SparkSession] = None) -> bool:
@@ -53,8 +60,20 @@ def mkdirs(path: str, spark: Optional[SparkSession] = None) -> None:
 
 
 def read_text(path: str, spark: Optional[SparkSession] = None) -> str:
-    """Read a whole (small) file as UTF-8 text."""
+    """Read a whole (small) file as UTF-8 text.
+
+    Crash recovery: if ``path`` is missing but the write-side temp file
+    exists (a writer died between delete and rename in
+    :func:`write_text`), the temp is promoted to ``path`` first — so a
+    kill anywhere inside the rewrite loses at most nothing: either the
+    old content (delete not reached) or the fully-written new content
+    (temp present) is recovered."""
     _jvm, fs, jpath = _fs(path, spark)
+    if not fs.exists(jpath):
+        tmp = _jvm.org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
+        if fs.exists(tmp):
+            if not fs.rename(tmp, jpath):
+                raise IOError(f"recovery rename failed: {tmp} -> {path}")
     stream = fs.open(jpath)
     try:
         chunks = []
@@ -73,9 +92,17 @@ def read_text(path: str, spark: Optional[SparkSession] = None) -> str:
 def write_text(
     path: str, text: str, spark: Optional[SparkSession] = None
 ) -> None:
-    """Atomically replace ``path`` with ``text`` (write temp + rename)."""
+    """Replace ``path`` with ``text`` via write-temp / delete / rename.
+
+    Plain ``FileSystem.rename`` cannot overwrite, so there is a
+    delete→rename window; a crash inside it leaves the complete new
+    content at ``path + TMP_SUFFIX``, which :func:`read_text` and
+    :func:`exists` transparently promote on the next access — no state
+    is lost either side of the window. A rename that returns false
+    (Hadoop signals failure by boolean, not exception) raises instead of
+    silently stranding the temp."""
     _jvm, fs, jpath = _fs(path, spark)
-    tmp = _jvm.org.apache.hadoop.fs.Path(path + ".__tmp__")
+    tmp = _jvm.org.apache.hadoop.fs.Path(path + TMP_SUFFIX)
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -83,7 +110,8 @@ def write_text(
         out.close()
     if fs.exists(jpath):
         fs.delete(jpath, False)
-    fs.rename(tmp, jpath)
+    if not fs.rename(tmp, jpath):
+        raise IOError(f"rename failed: {tmp} -> {path}")
 
 
 def append_line(

@@ -568,7 +568,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     sh = sh_all.join(rare, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # denominator counts ALL shingles (pre-cap): a mostly-boilerplate doc
+    # must not look near-identical to another just because only its rare
+    # shingles survived the cap — the cap bounds the JOIN, not the
+    # definition of |A ∪ B|
+    sizes = sh_all.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -608,7 +612,7 @@ WITH sh_all AS (
 ), sh AS (
   SELECT sh_all.doc_id, sh_all.sh FROM sh_all JOIN rare USING (sh)
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -196,6 +196,9 @@ def build_index(
                 .filter(F.col("count") > 1).take(1)
             )
             if dupes:
+                # release the assignment cache before failing, or every
+                # rejected build pins another full-corpus frame
+                (assigned if mode == "reference" else seq_cache).unpersist()
                 raise ValueError(f"page already in index: {dupes[0]['url']}")
 
         if config.tokenizer == "arrow":

@@ -77,25 +77,25 @@ class SearchEngine:
         )
         self._warmed = False
         self._term_stats: Optional[DataFrame] = None
-        self._blocks: Optional[DataFrame] = None
 
     def term_stats(self) -> DataFrame:
-        """(term, df, max_tf) — one cached DataFrame handle per engine so
-        BM25/WAND queries don't re-resolve the parquet listing per call
-        (and the warmed cache is actually reused across queries)."""
-        if self._term_stats is None:
-            self._term_stats = self.spark.read.parquet(
-                os.path.join(self.index_dir, "term_stats")
-            )
-        return self._term_stats
+        """(term, df, max_tf). Cold engines resolve the parquet listing
+        fresh per call so a concurrent ``refresh_stats`` overwrite of the
+        directory is picked up (serve-while-ingest); ``warm()`` pins a
+        snapshot handle instead — a warmed engine deliberately serves the
+        snapshot it warmed, re-warm after a refresh to advance."""
+        if self._term_stats is not None:
+            return self._term_stats
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "term_stats")
+        )
 
     def blocks(self) -> DataFrame:
-        """Delta-encoded block-max postings blocks (WAND scale path)."""
-        if self._blocks is None:
-            self._blocks = self.spark.read.parquet(
-                os.path.join(self.index_dir, "blocks")
-            )
-        return self._blocks
+        """Delta-encoded block-max postings blocks (WAND scale path);
+        fresh listing per call, same refresh contract as term_stats."""
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "blocks")
+        )
 
     def warm(self, pin_docs: bool = True) -> "SearchEngine":
         """Pin the hot index tables in executor memory (MEMORY_AND_DISK)

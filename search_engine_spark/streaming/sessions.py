@@ -66,6 +66,13 @@ def _close(user_id: int, idx: int, start_us: int, last_us: int,
     )
 
 
+# after a timeout closes a user's session, the per-user session counter
+# stays in state this long (so session_idx keeps the batch twin's global
+# numbering); a user silent beyond it has the counter dropped — bounded
+# state, at the cost of idx restarting for users dormant > retention
+COUNTER_RETENTION_US = 30 * 24 * 3600 * 1_000_000
+
+
 def _session_fn(gap_us: int):
     def fn(
         key: Tuple[Any, ...],
@@ -75,8 +82,20 @@ def _session_fn(gap_us: int):
         user_id = key[0]
         if state.hasTimedOut:
             start_us, last_us, n, sum_u, emitted = state.get
-            state.remove()
-            yield _close(user_id, emitted + 1, start_us, last_us, n, sum_u)
+            if n > 0:
+                # close the open session but KEEP the per-user counter —
+                # state.remove() here would restart session_idx at 1 for
+                # the user's next session (duplicate output keys)
+                state.update((0, last_us, 0, 0, emitted + 1))
+                state.setTimeoutTimestamp(
+                    (last_us + COUNTER_RETENTION_US) // 1000
+                )
+                yield _close(
+                    user_id, emitted + 1, start_us, last_us, n, sum_u
+                )
+            else:
+                # retention elapsed with no new sessions — drop counter
+                state.remove()
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -95,6 +114,16 @@ def _session_fn(gap_us: int):
             us, vu = int(us), int(vu)
             if n == 0:
                 start_us, last_us, n, sum_u = us, us, 1, vu
+            elif us <= last_us:
+                # within-watermark event arriving in a later micro-batch
+                # out of order: fold it into the open session without
+                # moving last_us backwards (duration = max-min like the
+                # batch twin). Events older than the open session's start
+                # are approximated into it — exact replay would need
+                # buffering until the watermark, which trades unbounded
+                # state for a case the watermark already bounds.
+                start_us = min(start_us, us)
+                n, sum_u = n + 1, sum_u + vu
             elif us - last_us > gap_us:
                 out.append(
                     _close(user_id, emitted + 1, start_us, last_us, n, sum_u)
@@ -106,7 +135,7 @@ def _session_fn(gap_us: int):
 
         state.update((start_us, last_us, n, sum_u, emitted))
         # close the open session once the watermark passes last event+gap
-        state.setTimeoutTimestamp((last_us // 1000) + gap_us // 1000)
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         if out:
             yield pd.concat(out, ignore_index=True)
 

@@ -79,7 +79,9 @@ def test_matches_duckdb_oracle(spark, duck, name):
 def test_ngram_jaccard_df_cap_kills_zipf_skew(spark, tmp_path):
     """A boilerplate shingle shared by every doc must NOT create O(n^2)
     pairs: the df cap drops it before the self-join, while a genuine
-    near-dup pair (overlap through rare shingles) survives."""
+    near-dup pair (overlap through rare shingles) survives — and the
+    Jaccard DENOMINATOR still counts all shingles, so boilerplate-heavy
+    docs are not inflated into false near-dups."""
     from pyspark.sql import functions as F
 
     from search_engine_spark.operators.corpus_queries import (
@@ -89,12 +91,20 @@ def test_ngram_jaccard_df_cap_kills_zipf_skew(spark, tmp_path):
         q_ngram_jaccard_pairs,
     )
 
+    boiler = " ".join(f"b{i}" for i in range(15))  # 13 capped shingles
     dup = "orbit probe lander rover beacon relay antenna dish mast"
     rows = [
         # 100 docs whose ONLY mutual overlap is the boilerplate prefix
-        (i, f"alpha beta gamma delta unique{i} token{i} tail{i}")
+        (i, f"{boiler} unique{i} token{i} tail{i}")
         for i in range(100)
-    ] + [(1000, dup), (1001, dup + " extra")]
+    ] + [
+        (1000, dup), (1001, dup + " extra"),  # true near-dup
+        # mostly-boilerplate pair sharing 3 rare shingles: true jaccard
+        # 3/(17+17-3)=0.097 < 0.2, but a post-cap denominator would claim
+        # 3/(4+4-3)=0.6 and report a false near-dup
+        (2000, f"{boiler} shared rare thing u2000"),
+        (2001, f"{boiler} shared rare thing u2001"),
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     docs.select(
         "doc_id", "text", F.lit("en").alias("lang"),
@@ -107,9 +117,11 @@ def test_ngram_jaccard_df_cap_kills_zipf_skew(spark, tmp_path):
         for r in q_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
     }
     assert (1000, 1001) in pairs  # real near-dup survives
-    # boilerplate-only pairs are gone (without the cap, jaccard would be
-    # 2/(5+5-2)=0.25 >= JACCARD_MIN for every one of the 4950 pairs)
+    # boilerplate-only pairs are gone (without the cap each of the 5000+
+    # pairs would share 13 shingles)
     assert not any(a < 100 and b < 100 for a, b in pairs)
+    # rare-overlap-but-mostly-boilerplate pair correctly below threshold
+    assert (2000, 2001) not in pairs
 
     n_dropped = (
         _tokens_df(spark, str(tmp_path))
@@ -119,4 +131,4 @@ def test_ngram_jaccard_df_cap_kills_zipf_skew(spark, tmp_path):
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .count()
     )
-    assert n_dropped == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert n_dropped == 13  # the boilerplate-interior shingles

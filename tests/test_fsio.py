@@ -49,3 +49,21 @@ def test_requires_session_context(tmp_path):
         pytest.skip("an active session exists in this test process")
     with pytest.raises(RuntimeError, match="SparkSession"):
         fsio.exists(str(tmp_path))
+
+
+def test_crash_recovery_promotes_temp(spark, tmp_path):
+    """A writer killed between delete and rename leaves only the temp
+    file; exists() must still see the path and read_text() must recover
+    the fully-written new content."""
+    p = str(tmp_path / "m.json")
+    fsio.write_text(p, "old")
+    # simulate the crash window: dst deleted, completed temp left behind
+    fsio.write_text(p + fsio.TMP_SUFFIX, "new-complete")
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+    _jvm, fs, jpath = fsio._fs(p)
+    fs.delete(jpath, False)
+    assert fsio.exists(p)
+    assert fsio.read_text(p) == "new-complete"
+    # recovery promoted the temp: a normal append now works on top of it
+    fsio.append_line(p, "x")
+    assert fsio.read_text(p) == "new-complete\nx\n"
