@@ -39,3 +39,8 @@ class EngineConfig:
     # "expr" = pure Column expressions (whole-stage codegen, default);
     # "arrow" = vectorized pandas UDF. Tested equal.
     tokenizer: str = "expr"
+    # parquet codec for every index-table write. zstd measured 2.2x
+    # smaller than snappy on this index shape (20 vs 44 MB at 160k
+    # turns) at equal build time and query latency — at 100 TB that
+    # halves storage AND every scan's I/O for free (BENCH/NOTES.md).
+    parquet_codec: str = "zstd"

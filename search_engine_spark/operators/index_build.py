@@ -231,6 +231,7 @@ def build_index(
                 F.count(F.lit(1)).alias("n"),
             )
             .write.mode("overwrite")
+            .option("compression", config.parquet_codec)
             .partitionBy("seg")
             .parquet(docs_dir)
         )
@@ -279,7 +280,7 @@ def build_index(
                              "block_max_partial double"),
             ("term_stats", "term string, df long, max_tf int"),
         ]:
-            spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            spark.createDataFrame([], schema).write.mode("overwrite").option("compression", config.parquet_codec).parquet(
                 os.path.join(index_dir, *name.split("/"))
             )
         return BuildResult(
@@ -330,6 +331,7 @@ def build_index(
         (
             laid.select("doc_id", "term", "positions")
             .write.mode("overwrite")
+            .option("compression", config.parquet_codec)
             .parquet(os.path.join(index_dir, "term_positions", f"seg={k}"))
         )
         term_pos.unpersist()
@@ -346,7 +348,7 @@ def build_index(
             F.size("positions").alias("tf"),
             "dl",
         ).observe(obs, F.count(F.lit(1)).alias("n"))
-        postings.write.mode("overwrite").parquet(
+        postings.write.mode("overwrite").option("compression", config.parquet_codec).parquet(
             os.path.join(index_dir, "postings", f"seg={k}")
         )
 
@@ -408,6 +410,7 @@ def build_index(
             .repartitionByRange(max(npart // 4, 1), "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
+            .option("compression", config.parquet_codec)
             .parquet(os.path.join(index_dir, "term_stats"))
         )
         _append_manifest(
@@ -490,7 +493,7 @@ def build_blocks(
 
             yield _cut_runs(carry, block, k1, b, avgdl, np)
 
-    part.mapInPandas(cut, schema=schema).write.mode("overwrite").parquet(out_dir)
+    part.mapInPandas(cut, schema=schema).write.mode("overwrite").option("compression", config.parquet_codec).parquet(out_dir)
 
 
 def _cut_runs(pdf: pd.DataFrame, block: int, k1: float, b: float,

@@ -83,7 +83,7 @@ def append_batch(
     docs.select(
         "doc_id", "url", "title", "words", "n_tokens",
         *[c for c in ("conv_id", "turn_idx", "ts") if c in corpus.columns],
-    ).write.mode("overwrite").parquet(docs_seg_dir)
+    ).write.mode("overwrite").option("compression", config.parquet_codec).parquet(docs_seg_dir)
     # docs write is the terminal read through the doc-id cache — release
     # it here, or a long-running stream leaks one cached frame per batch
     seq_cache.unpersist()
@@ -111,6 +111,7 @@ def append_batch(
     (
         laid.select("doc_id", "term", "positions")
         .write.mode("overwrite")
+        .option("compression", config.parquet_codec)
         .parquet(os.path.join(index_dir, "term_positions", f"seg={seg_label}"))
     )
     term_pos.unpersist()
@@ -118,6 +119,7 @@ def append_batch(
         laid.filter(stop_word_filter(F.col("term"), config.stop_words))
         .select("term", "doc_id", F.size("positions").alias("tf"), "dl")
         .write.mode("overwrite")
+        .option("compression", config.parquet_codec)
         .parquet(os.path.join(index_dir, "postings", f"seg={seg_label}"))
     )
     laid.unpersist()
@@ -159,6 +161,7 @@ def refresh_stats(
         .repartitionByRange(max(npart // 4, 1), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .option("compression", config.parquet_codec)
         .parquet(os.path.join(index_dir, "term_stats"))
     )
     build_blocks(
