@@ -2,7 +2,15 @@
 entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/oracle_check.py [sf_dir] [name ...]
+Usage: python tools/oracle_check.py [--strict] [sf_dir] [name ...]
+
+``--strict`` skips the float-tolerance normalization and compares a
+hash of the EXACT values at the pandas layer (Spark ``toPandas()`` vs
+DuckDB ``fetch_df()``, columns sorted by name, rows sorted) — the same
+representation level the driver hashes at, so a strict pass here
+predicts a driver ``hash_match``. This is where type drift surfaces:
+a DuckDB hugeint SUM arriving as float64/decimal128 while Spark sends
+int64 passes the tolerant check but fails strict.
 """
 
 from __future__ import annotations
@@ -39,9 +47,44 @@ def normalize(rows, cols):
     return sorted(out, key=repr)
 
 
+def strict_hash(pdf):
+    """Canonical value hash at the pandas layer: columns sorted by name,
+    rows sorted by string repr, every cell rendered with full precision
+    (repr keeps float64 bits and distinguishes 1 from 1.0)."""
+    import hashlib
+
+    import numpy as np
+
+    def cell(v):
+        # canonicalize container/scalar wrappers so only the VALUE and
+        # its numeric kind matter: numpy array vs list, np.int64 vs int
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        if isinstance(v, list):
+            return repr([cell(x) for x in v])
+        if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+            return repr(int(v))
+        if isinstance(v, (np.floating, float)):
+            return repr(float(v))
+        return repr(v)
+
+    pdf = pdf[sorted(pdf.columns)]
+    rows = sorted(
+        tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    h = hashlib.sha256()
+    for row in rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    argv = [a for a in argv if a != "--strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -57,6 +100,40 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            if strict:
+                if name not in oracles:
+                    n = sdf.count()
+                    print(f"{name:28s} rows-only: {n} rows")
+                    continue
+                s_pdf = sdf.toPandas()
+                d_pdf = con.execute(oracles[name]).fetch_df()
+                ok_cols = sorted(s_pdf.columns) == sorted(d_pdf.columns)
+                ok_rows = len(s_pdf) == len(d_pdf)
+                sh, dh = strict_hash(s_pdf), strict_hash(d_pdf)
+                ok = ok_cols and ok_rows and sh == dh
+                if not ok:
+                    failures += 1
+                print(
+                    f"{name:28s} {'OK ' if ok else 'FAIL'} rows"
+                    f" {len(s_pdf)}/{len(d_pdf)}"
+                    f" cols={'ok' if ok_cols else (list(s_pdf.columns), list(d_pdf.columns))}"
+                    f" hash={'ok' if sh == dh else 'MISMATCH'}"
+                )
+                if sh != dh and ok_cols and ok_rows:
+                    order = sorted(s_pdf.columns)
+                    s_set = {
+                        tuple(repr(v) for v in r)
+                        for r in s_pdf[order].itertuples(index=False)
+                    }
+                    d_set = {
+                        tuple(repr(v) for v in r)
+                        for r in d_pdf[order].itertuples(index=False)
+                    }
+                    print("   spark-only:", list(s_set - d_set)[:2])
+                    print("   duck-only :", list(d_set - s_set)[:2])
+                    print("   dtypes s:", dict(s_pdf.dtypes.astype(str)))
+                    print("   dtypes d:", dict(d_pdf.dtypes.astype(str)))
+                continue
             s_rows = [r.asDict() for r in sdf.collect()]
             if name not in oracles:
                 print(f"{name:28s} rows-only: {len(s_rows)} rows")
