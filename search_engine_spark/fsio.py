@@ -124,6 +124,41 @@ def append_line(
     write_text(path, current + line.rstrip("\n") + "\n", spark)
 
 
+def list_dir(path: str, spark: Optional[SparkSession] = None) -> list[str]:
+    """Child names directly under ``path`` (empty if absent), sorted."""
+    _jvm, fs, jpath = _fs(path, spark)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(jpath)
+    )
+
+
+def delete(
+    path: str, recursive: bool = True,
+    spark: Optional[SparkSession] = None,
+) -> bool:
+    """Delete ``path`` (no-op False if absent)."""
+    _jvm, fs, jpath = _fs(path, spark)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
+
+
+def rename(
+    src: str, dst: str, spark: Optional[SparkSession] = None
+) -> None:
+    """Rename ``src`` -> ``dst`` (parent dirs created; non-overwriting).
+    Hadoop signals failure by boolean — raise instead of stranding."""
+    _jvm, fs, jsrc = _fs(src, spark)
+    jdst = _jvm.org.apache.hadoop.fs.Path(dst)
+    parent = jdst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def dir_bytes(path: str, spark: Optional[SparkSession] = None) -> int:
     """Total bytes under ``path`` (0 if absent) — the `du` the reference
     demo shells out for (demo.ts metrics), via getContentSummary."""
