@@ -1680,6 +1680,188 @@ FROM g GROUP BY conv_id ORDER BY conv_id
 """
 
 
+# --------------------------------------------------------------------------
+# as-of join: each purchase event -> the user's most recent prior view
+# --------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join: every ``purchase`` event picks the
+    most recent ``view`` event of the same user with ``view.ts <=
+    purchase.ts`` (the join a feature/attribution pipeline runs over
+    event streams; the reference engine has no temporal joins at all).
+
+    Spark-first formulation: NOT an inequality join — Catalyst executes
+    ``p.ts >= v.ts`` only as a broadcast-nested-loop or an unbounded
+    sort-merge range, both of which go quadratic on a hot user. Instead
+    the classic union + ordered-window shape: tag both sides, union,
+    and carry the latest view forward with ``last(..., ignorenulls)``
+    over ``(user_id, ts)``. ONE hash shuffle on the natural entity key
+    and linear work per user — a hot user costs O(its events), not
+    O(views x purchases), so the plan survives 100x skew.
+
+    Output stays in exact int64 epoch-micros space (same bit-exact
+    contract as q_sessionize) and missing matches surface as -1 rather
+    than NULL so Spark and the DuckDB ASOF JOIN twin agree on the exact
+    dtype at the driver's hash layer."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    sides = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        (F.col("event_type") == "view").alias("is_view"),
+    )
+    # views sort BEFORE purchases at an equal timestamp -> inclusive (<=)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("is_view").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_struct = F.last(
+        F.when(F.col("is_view"), F.struct("event_id", "us")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        sides.withColumn("v", view_struct)
+        .filter(~F.col("is_view"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            F.coalesce(F.col("v.event_id"), F.lit(-1))
+            .cast("long").alias("view_id"),
+            F.coalesce(F.col("v.us"), F.lit(-1))
+            .cast("long").alias("view_us"),
+        )
+        .withColumn(
+            "gap_s",
+            F.when(
+                F.col("view_id") >= 0,
+                (F.col("purchase_us") - F.col("view_us"))
+                / F.lit(1000000.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id, p.user_id, p.us AS purchase_us,
+       COALESCE(v.event_id, -1) AS view_id,
+       COALESCE(v.us, -1) AS view_us,
+       CASE WHEN v.event_id IS NOT NULL
+            THEN (p.us - v.us) / 1000000.0 ELSE -1.0 END AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+ORDER BY purchase_id
+"""
+
+
+# --------------------------------------------------------------------------
+# quality filter chain (Gopher/C4-style document gating)
+# --------------------------------------------------------------------------
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 100_000
+QF_MEAN_WLEN_LO = 2.0
+QF_MEAN_WLEN_HI = 12.0
+QF_MIN_STOP_FRAC = 0.01
+QF_MIN_ALPHA_FRAC = 0.6
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-chain document gating (the decision layer on top of
+    q_text_quality's metrics): Gopher/C4-style thresholds on token
+    count, mean word length, stop-word fraction, and alphabetic-word
+    fraction, emitting per-rule flags plus the final keep decision for
+    EVERY document (auditable — a pipeline wants to know why a doc was
+    dropped, not just that it was).
+
+    All metrics are higher-order array functions over one tokenize —
+    single narrow pass, no shuffle, whole-stage codegen; at 100 TB this
+    is a pure map over the corpus scan. Fractions are rounded to 6
+    places on both engines BEFORE thresholding so the keep decision is
+    bit-stable."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokenize_expr(F.col("text"), lower_case=True).alias("toks")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOP_LIST])
+    n = F.size("toks").cast("long")
+    nd = F.nullif(n.cast("double"), F.lit(0.0))
+    mean_wlen = F.round(
+        F.aggregate(
+            F.transform("toks", F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ) / nd,
+        6,
+    )
+    stop_frac = F.round(
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+        / nd,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$"))) / nd, 6
+    )
+    flags = (
+        toks.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            mean_wlen.alias("mean_wlen"),
+            stop_frac.alias("stop_frac"),
+            alpha_frac.alias("alpha_frac"),
+        )
+        .withColumn(
+            "ok_len",
+            (F.col("n_tokens") >= QF_MIN_TOKENS)
+            & (F.col("n_tokens") <= QF_MAX_TOKENS),
+        )
+        .withColumn(
+            "ok_wlen",
+            (F.col("mean_wlen") >= QF_MEAN_WLEN_LO)
+            & (F.col("mean_wlen") <= QF_MEAN_WLEN_HI),
+        )
+        .withColumn("ok_stop", F.col("stop_frac") >= QF_MIN_STOP_FRAC)
+        .withColumn("ok_alpha", F.col("alpha_frac") >= QF_MIN_ALPHA_FRAC)
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_len") & F.col("ok_wlen") & F.col("ok_stop")
+        & F.col("ok_alpha"),
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(list_sum(list_transform(toks, x -> length(x)))
+               / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS mean_wlen,
+         round(len(list_filter(toks, x -> x IN ({_stop_in})))
+               / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stop_frac,
+         round(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+               / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS alpha_frac
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_wlen, stop_frac, alpha_frac,
+       (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS})
+         AS ok_len,
+       (mean_wlen >= {QF_MEAN_WLEN_LO} AND mean_wlen <= {QF_MEAN_WLEN_HI})
+         AS ok_wlen,
+       (stop_frac >= {QF_MIN_STOP_FRAC}) AS ok_stop,
+       (alpha_frac >= {QF_MIN_ALPHA_FRAC}) AS ok_alpha,
+       (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+        AND mean_wlen >= {QF_MEAN_WLEN_LO} AND mean_wlen <= {QF_MEAN_WLEN_HI}
+        AND stop_frac >= {QF_MIN_STOP_FRAC}
+        AND alpha_frac >= {QF_MIN_ALPHA_FRAC}) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
     "doc_count": (q_doc_count, SQL_DOC_COUNT),
@@ -1723,6 +1905,8 @@ QUERIES = {
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "conv_stats": (q_conv_stats, SQL_CONV_STATS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
 }
 
 # multimodal plumbing lives in its own module (binary columns + mapInPandas)
