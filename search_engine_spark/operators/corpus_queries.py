@@ -1922,3 +1922,10 @@ from .multimodal import (  # noqa: E402
 QUERIES["multimodal_features"] = (q_multimodal_features, SQL_MULTIMODAL_FEATURES)
 QUERIES["multimodal_resize"] = (q_multimodal_resize, SQL_MULTIMODAL_RESIZE)
 QUERIES["multimodal_frames"] = (q_multimodal_frames, SQL_MULTIMODAL_FRAMES)
+
+# window / sampling / near-dup analytics extras (second batch). Module
+# import only — analytics_extras self-registers into QUERIES at its end,
+# which keeps BOTH import orders safe: importing analytics_extras first
+# re-enters here while it is partially initialized, and a name import
+# (EXTRA_QUERIES) would fail at that point.
+from . import analytics_extras  # noqa: E402,F401
