@@ -1929,3 +1929,4 @@ QUERIES["multimodal_frames"] = (q_multimodal_frames, SQL_MULTIMODAL_FRAMES)
 # re-enters here while it is partially initialized, and a name import
 # (EXTRA_QUERIES) would fail at that point.
 from . import analytics_extras  # noqa: E402,F401
+from . import pipeline_extras  # noqa: E402,F401
