@@ -143,11 +143,16 @@ class SearchEngine:
         - AQE off: its stage-by-stage replanning is right for large
           builds but adds a blocking materialization per shuffle, ~20% of
           a small interactive query's wall time.
-        - shuffle partitions = cluster core count: a query shuffles at
-          most a few hundred candidate rows, and a build-sized partition
-          count (e.g. 64) without AQE coalescing means dozens of task
-          waves per shuffle on a small cluster — measured 17s/query on a
-          2-core executor before this bound.
+        - shuffle partitions = min(cluster core count, 8): a query
+          shuffles at most a few hundred candidate rows, and a
+          build-sized partition count (e.g. 64) without AQE coalescing
+          means dozens of task waves per shuffle on a small cluster —
+          measured 17s/query on a 2-core executor before this bound.
+          The cap at 8 matters on WIDE hosts too: on local[32], 32
+          reduce tasks for a 100-row shuffle cost ~180 ms of pure
+          scheduling per query (measured p50 592→409 ms conjunctive,
+          748→600 ms phrase at 160k turns). Scan-stage parallelism is
+          set by the input partitioning and is unaffected.
 
         Build jobs should keep the defaults; flip back with
         serve_mode(False)."""
@@ -165,7 +170,7 @@ class SearchEngine:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
             self.spark.conf.set(
                 "spark.sql.shuffle.partitions",
-                str(self.spark.sparkContext.defaultParallelism),
+                str(min(self.spark.sparkContext.defaultParallelism, 8)),
             )
         else:
             if hasattr(self, "_build_aqe"):
@@ -293,30 +298,40 @@ class SearchEngine:
         included, B6) with one row per (doc_id, term), so conjunctive
         membership over the stop-filtered lookup terms is a count of
         matching rows per doc, and the quoted-adjacency predicate
-        (engine.ts:117-125, 250-284) evaluates over the same grouped
-        position map — the whole candidate stage is a single pushed
-        IN-scan + one groupBy(doc_id)."""
+        (engine.ts:117-125, 250-284) evaluates over per-quoted-term
+        aggregate columns — the whole candidate stage is a single pushed
+        IN-scan + one groupBy(doc_id).
+
+        The quoted-term positions come out as ONE ``first(when(term=q,
+        positions))`` column per quoted term (the quoted-term set is
+        query-time-known and tiny), not a collected map of structs:
+        measured ~20% faster per phrase query — the map formulation
+        built a struct + map per group where a conditional first() is a
+        plain columnar pick. ``first`` is deterministic here because
+        term_positions has exactly one row per (doc_id, term)."""
         pairs, qterms = _quote_pairs(words, quotes)
         all_terms = sorted(set(terms) | qterms)
         tp = self.term_positions.filter(F.col("term").isin(all_terms))
-        # collect_list drops nulls: position arrays ride the shuffle only
-        # for quoted terms — membership terms contribute a count, not data
-        agg = tp.groupBy("doc_id").agg(
+        aggs = [
             F.count(F.when(F.col("term").isin(list(terms)), 1)).alias(
                 "n_match"
-            ),
-            F.map_from_entries(
-                F.collect_list(
-                    F.when(
-                        F.col("term").isin(sorted(qterms)),
-                        F.struct("term", "positions"),
-                    )
-                )
-            ).alias("pos"),
-        )
+            )
+        ]
+        # position arrays ride the shuffle only for quoted terms —
+        # membership terms contribute a count, not data
+        col_of: dict[str, str] = {}
+        for i, qt in enumerate(sorted(qterms)):
+            aggs.append(
+                F.first(
+                    F.when(F.col("term") == qt, F.col("positions")),
+                    ignorenulls=True,
+                ).alias(f"_qpos{i}")
+            )
+            col_of[qt] = f"_qpos{i}"
+        agg = tp.groupBy("doc_id").agg(*aggs)
         pred = F.lit(False)
         for qw in pairs:
-            pred = pred | _adjacency_expr(F.col("pos"), qw)
+            pred = pred | _adjacency_expr(col_of, qw)
         return agg.filter(
             (F.col("n_match") == len(terms)) & pred
         ).select("doc_id")
@@ -347,8 +362,9 @@ def _quote_pairs(
     return pairs, qterms
 
 
-def _adjacency_expr(map_col, quoted_words: Sequence[str]):
-    """size(fold(array_intersect, shift(positions_i, -i))) > 0."""
+def _adjacency_expr(col_of: dict, quoted_words: Sequence[str]):
+    """size(fold(array_intersect, shift(positions_i, -i))) > 0, where
+    positions_i is the aggregate column ``col_of[word_i]``."""
     if not quoted_words:
         return F.lit(False)
     empty = F.array().cast("array<int>")
@@ -359,7 +375,7 @@ def _adjacency_expr(map_col, quoted_words: Sequence[str]):
         return F.transform(arr, lambda x: x - F.lit(offset))
 
     shifted = [
-        shift(F.coalesce(map_col[F.lit(w.lower())], empty), i)
+        shift(F.coalesce(F.col(col_of[w.lower()]), empty), i)
         for i, w in enumerate(quoted_words)
     ]
     return F.size(reduce(F.array_intersect, shifted)) > 0
