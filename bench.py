@@ -131,25 +131,33 @@ def run(master: str | None = None, sf_dir: str | None = None,
                     if k in s
                 }
                 # the scaling run is a separate, slower harness — flag
-                # (don't silently reuse) numbers measured at an older
-                # commit than the code being benchmarked right now
+                # (don't silently reuse) numbers measured on OLDER CODE
+                # than what is being benchmarked right now. Stale means
+                # engine/harness SOURCE changed since the recorded
+                # commit; doc-only commits (BENCH.md itself, NOTES,
+                # COVERAGE) cannot invalidate a measurement, and a plain
+                # `commit != HEAD` test would mark every scaling run
+                # stale forever — the commit that records the result in
+                # BENCH.md necessarily moves HEAD past it.
                 import subprocess
 
+                repo = str(Path(__file__).resolve().parent)
                 try:
-                    head = subprocess.run(
-                        ["git", "-C", str(Path(__file__).resolve().parent),
-                         "rev-parse", "HEAD"],
+                    changed = subprocess.run(
+                        ["git", "-C", repo, "diff", "--name-only",
+                         f"{scaling.get('commit')}..HEAD", "--",
+                         "search_engine_spark", "tools", "bench.py",
+                         "__spark_entry__.py"],
                         capture_output=True, text=True, check=True,
                     ).stdout.strip()
+                    stale = bool(changed)
                 except (OSError, subprocess.CalledProcessError):
-                    head = None
-                # unknown provenance (no recorded commit, or HEAD not
-                # resolvable here) is reported as stale, never as current
-                scaling["stale_vs_head"] = (
-                    head is None
-                    or scaling.get("commit") is None
-                    or scaling["commit"] != head
-                )
+                    # unknown provenance (no/unresolvable recorded
+                    # commit) is reported as stale, never as current
+                    changed, stale = None, True
+                scaling["stale_vs_head"] = stale
+                if stale and changed:
+                    scaling["stale_source_files"] = changed.split("\n")[:8]
             except (ValueError, KeyError):
                 scaling = None
 
