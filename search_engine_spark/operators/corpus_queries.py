@@ -1930,3 +1930,4 @@ QUERIES["multimodal_frames"] = (q_multimodal_frames, SQL_MULTIMODAL_FRAMES)
 # (EXTRA_QUERIES) would fail at that point.
 from . import analytics_extras  # noqa: E402,F401
 from . import pipeline_extras  # noqa: E402,F401
+from . import governance_extras  # noqa: E402,F401
