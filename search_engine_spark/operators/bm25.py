@@ -56,16 +56,30 @@ def bm25_topk(
     n_docs = F.lit(float(engine.corpus_stats["n_docs"]))
     avgdl = F.lit(float(engine.corpus_stats["avgdl"]) or 1.0)
 
-    stats = (
-        engine.term_stats()
-        .filter(F.col("term").isin(terms))
-        .select("term", "df")
-    )
-
     p = engine.postings.filter(F.col("term").isin(terms))
-    p = p.join(F.broadcast(stats), "term")
 
-    idf = F.log(F.lit(1.0) + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    stats_map = getattr(engine, "_stats_map", None)
+    if stats_map is not None:
+        # warm() pinned the vocabulary (term -> df) on the driver: inline
+        # df as a literal CASE over the query terms — no stats job, no
+        # broadcast build, the whole query is one action. Terms absent
+        # from the map have no postings rows, so the fallback 0 never
+        # reaches a live row.
+        df_col = F.lit(0)
+        for t in terms:
+            df_col = F.when(
+                F.col("term") == t, F.lit(int(stats_map.get(t, 0)))
+            ).otherwise(df_col)
+    else:
+        stats = (
+            engine.term_stats()
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        p = p.join(F.broadcast(stats), "term")
+        df_col = F.col("df")
+
+    idf = F.log(F.lit(1.0) + (n_docs - df_col + 0.5) / (df_col + 0.5))
     tf = F.col("tf").cast("double")
     norm = tf + k1 * (F.lit(1.0) - b + b * F.col("dl") / avgdl)
     score = (idf * tf * (k1 + F.lit(1.0)) / norm).alias("s")
