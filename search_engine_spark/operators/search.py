@@ -152,10 +152,18 @@ class SearchEngine:
             # candidates->docs join needs NO docs-side exchange or sort
             # (InMemoryTableScan preserves the cached plan's partitioning
             # and ordering) — the whole warmed query is ONE job with no
-            # broadcast-build step
+            # broadcast-build step. Partition count follows the TABLE
+            # (never below the scan's parallelism): collapsing the docs
+            # sort into the tiny serve partition count OOMs a small
+            # executor at a few million turns and would be catastrophic
+            # at scale. The ≤100-row candidates side is what shuffles to
+            # match the docs partitioning at join time, not vice versa.
+            n_parts = max(
+                self._serve_partitions(), self.docs.rdd.getNumPartitions()
+            )
             self._docs_proj = (
                 self.docs.select("doc_id", "title", "url", "words")
-                .repartition(self._serve_partitions(), "doc_id")
+                .repartition(n_parts, "doc_id")
                 .sortWithinPartitions("doc_id")
                 .persist()
             )
