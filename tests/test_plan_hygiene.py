@@ -130,3 +130,23 @@ def test_warm_paths_hit_cache(spark, tmp_path_factory):
     df = eng.search_bm25("filter join window", k=10)
     assert "InMemoryTableScan" in plan_of(df)
     assert [tuple(r) for r in df.collect()] == cold
+
+
+def test_warm_docs_cache_partitioning_follows_table(spark, tmp_path_factory):
+    """The pinned docs projection must keep at least the scan's
+    parallelism: collapsing its repartition+sort into the tiny serve
+    partition count funneled the whole table through <=8 sort tasks and
+    OOMed a 3 GB executor at a few million turns (observed in the
+    two-level scaling harness). The <=100-row candidate side is what
+    adapts at join time, never the docs side."""
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights())
+    idx = tmp_path_factory.mktemp("warm_parts_idx")
+    tx = synthesize_transcripts(spark, f"{SF_DIR}/documents.parquet")
+    build_index(
+        spark, corpus_from_transcripts(tx), str(idx), config=cfg, segments=2
+    )
+    eng = SearchEngine(spark, str(idx), config=cfg).warm()
+    scan_parts = eng.docs.rdd.getNumPartitions()
+    cached_parts = eng._docs_proj.rdd.getNumPartitions()
+    assert cached_parts >= scan_parts
+    assert cached_parts >= eng._serve_partitions()
