@@ -1931,3 +1931,38 @@ QUERIES["multimodal_frames"] = (q_multimodal_frames, SQL_MULTIMODAL_FRAMES)
 from . import analytics_extras  # noqa: E402,F401
 from . import pipeline_extras  # noqa: E402,F401
 from . import governance_extras  # noqa: E402,F401
+
+# batch query evaluation: the three demo queries (conjunctive /
+# single-term / phrase) answered by ONE fused plan; oracle = UNION ALL
+# of the per-query SQL, each capped like the engine (engine.ts:134)
+from .batch import q_batch_search  # noqa: E402
+
+SQL_BATCH_SEARCH = f"""
+SELECT 0 AS query_id, doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS n_terms FROM (
+      SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      WHERE NOT contains(text, '"')
+    ) WHERE term IN ({_terms_in}) GROUP BY doc_id
+  ) WHERE n_terms = {len(CONJ_TERMS)} ORDER BY doc_id LIMIT 100
+)
+UNION ALL
+SELECT 1 AS query_id, doc_id FROM (
+  SELECT doc_id FROM documents
+  WHERE NOT contains(text, '"')
+    AND list_contains({_TOKS_SQL}, '{SINGLE_TERM}')
+  ORDER BY doc_id LIMIT 100
+)
+UNION ALL
+SELECT 2 AS query_id, doc_id FROM (
+  SELECT doc_id FROM documents
+  WHERE NOT contains(text, '"')
+    AND regexp_matches(
+          regexp_replace(lower(text), '[^a-z0-9_åäö" \t\n]', ' ', 'g'),
+          '(^|[ ]){PHRASE[0]}[ ]+{PHRASE[1]}([ ]|$)')
+  ORDER BY doc_id LIMIT 100
+)
+ORDER BY query_id, doc_id
+"""
+
+QUERIES["batch_search"] = (q_batch_search, SQL_BATCH_SEARCH)

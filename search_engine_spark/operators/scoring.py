@@ -139,3 +139,50 @@ def make_score_intro_udf(
             yield pd.DataFrame(rows, columns=["score", "introduction"])
 
     return _score_intro
+
+
+def make_batch_score_intro_udf(
+    specs: dict,
+    weights: Optional[ScoreWeights],
+):
+    """Batch-query variant of :func:`make_score_intro_udf`: ONE Arrow UDF
+    ``(qid, title, url, words) -> struct<score, introduction>`` serving
+    every query of a batch — the per-row query spec is looked up by qid
+    from the closed-over dict (a few small lists per query, shipped once
+    per task in the closure, never per row).
+
+    ``specs``: qid -> (lookup_words, all_words, quotes), exactly the three
+    sequences the single-query UDF closes over.
+    """
+    from .snippets import construct_introduction
+
+    frozen = {
+        int(qid): (list(lk), list(aw), list(qt))
+        for qid, (lk, aw, qt) in specs.items()
+    }
+    out_schema = T.StructType(
+        [
+            T.StructField("score", T.DoubleType()),
+            T.StructField("introduction", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _batch_score_intro(
+        batches: Iterator[
+            tuple[pd.Series, pd.Series, pd.Series, pd.Series]
+        ]
+    ) -> Iterator[pd.DataFrame]:
+        for qid, title, url, words in batches:
+            rows = []
+            for q, t, u, w in zip(qid, title, url, words):
+                lk, aw, qt = frozen[int(q)]
+                rows.append(
+                    (
+                        score_page(lk, weights, t, u, list(w)),
+                        construct_introduction(aw, qt, list(w)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["score", "introduction"])
+
+    return _batch_score_intro

@@ -379,6 +379,26 @@ class SearchEngine:
             (F.col("n_match") == len(terms)) & pred
         ).select("doc_id")
 
+    # -- batch serving (see batch.py) ---------------------------------------
+    def search_many(
+        self, texts: Sequence[str], max_count: int = 100
+    ) -> DataFrame:
+        """N reference-parity queries fused into ONE plan — the serving
+        shape for throughput: the per-job scheduling floor amortizes to
+        job_time / N per query. Per-query rows (and order) are identical
+        to calling :meth:`search` N times (tested)."""
+        from .batch import search_many
+
+        return search_many(self, texts, max_count=max_count)
+
+    def search_bm25_many(
+        self, texts: Sequence[str], k: int = 10, conjunctive: bool = False
+    ) -> DataFrame:
+        """Batch BM25 top-k — one fused plan for the whole query set."""
+        from .batch import bm25_many
+
+        return bm25_many(self, texts, k=k, conjunctive=conjunctive)
+
     # -- BM25 (scale path; see bm25.py / wand.py) ---------------------------
     def search_bm25(self, text: str, k: int = 10, conjunctive: bool = False,
                     use_wand: bool = False) -> DataFrame:
