@@ -99,7 +99,10 @@ class SearchEngine:
 
     def blocks(self) -> DataFrame:
         """Delta-encoded block-max postings blocks (WAND scale path);
-        fresh listing per call, same refresh contract as term_stats."""
+        fresh listing per call, same refresh contract as term_stats
+        (warm() pins a handle, matching its term_stats treatment)."""
+        if getattr(self, "_blocks", None) is not None:
+            return self._blocks
         return self.spark.read.parquet(
             os.path.join(self.index_dir, "blocks")
         )
@@ -142,10 +145,22 @@ class SearchEngine:
         # then inline idf as literals — zero stats job per query. Bounded
         # by DRIVER_STATS_CAP; beyond it the broadcast-join path remains.
         self._stats_map: Optional[dict] = None
+        self._block_max_map: Optional[dict] = None
         if n_vocab <= DRIVER_STATS_CAP:
             self._stats_map = {
                 r["term"]: int(r["df"])
                 for r in self._term_stats.select("term", "df").collect()
+            }
+            # per-term max block partial (term_stats carries it as an
+            # aggregate of block summaries): WAND's upper-bound stage then
+            # needs NO per-query stats collect — both driver maps are
+            # vocab-sized and share the DRIVER_STATS_CAP bound
+            self._blocks = self.blocks().persist()
+            self._block_max_map = {
+                r["term"]: float(r["mx"])
+                for r in self._blocks.groupBy("term")
+                .agg(F.max("block_max_partial").alias("mx"))
+                .collect()
             }
         if pin_docs:
             # pre-partitioned AND pre-sorted on doc_id so the per-query

@@ -118,16 +118,25 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
     )
     blocks = engine.blocks().filter(F.col("term").isin(terms))
 
-    # -- step 1: per-term stats + upper bounds (driver-side, |terms| rows;
-    # ONE collect — stats and block maxima join before hitting the driver) --
-    per_term = (
-        blocks.groupBy("term")
-        .agg(F.max("block_max_partial").alias("mx"))
-        .join(stats, "term")
-        .collect()
-    )
-    df_map = {r["term"]: r["df"] for r in per_term}
-    term_max = {r["term"]: r["mx"] for r in per_term}
+    # -- step 1: per-term stats + upper bounds (driver-side, |terms| rows) --
+    stats_map = getattr(engine, "_stats_map", None)
+    bmax_map = getattr(engine, "_block_max_map", None)
+    if stats_map is not None and bmax_map is not None:
+        # warmed: both maps pinned vocab-sized at warm() — no per-query
+        # stats job at all
+        df_map = {t: stats_map[t] for t in terms if t in stats_map}
+        term_max = {t: bmax_map[t] for t in terms if t in bmax_map}
+    else:
+        # cold: ONE collect — stats and block maxima join before hitting
+        # the driver
+        per_term = (
+            blocks.groupBy("term")
+            .agg(F.max("block_max_partial").alias("mx"))
+            .join(stats, "term")
+            .collect()
+        )
+        df_map = {r["term"]: r["df"] for r in per_term}
+        term_max = {r["term"]: r["mx"] for r in per_term}
     present = [t for t in terms if t in df_map and t in term_max]
     if not present:
         return spark.createDataFrame([], empty)

@@ -60,3 +60,23 @@ def test_wand_matches_exhaustive_conjunctive(corpus_engine, query):
 
 def test_wand_empty_query(corpus_engine):
     assert corpus_engine.search_bm25("the", k=10, use_wand=True).count() == 0
+
+
+def test_wand_warm_parity(spark, tmp_path_factory):
+    """wand_topk must return identical rows on a warmed engine, where the
+    per-term df / block-max maps are driver-pinned and step 1 runs no
+    Spark job at all (warm() extension, round 2)."""
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS)
+    idx = tmp_path_factory.mktemp("wand_warm_idx")
+    tx = synthesize_transcripts(spark, f"{SF_DIR}/documents.parquet")
+    build_index(
+        spark, corpus_from_transcripts(tx), str(idx), config=cfg, segments=2
+    )
+    eng = SearchEngine(spark, str(idx), config=cfg)
+    cold = {
+        q: rows(eng.search_bm25(q, k=10, use_wand=True)) for q in QUERIES
+    }
+    eng.warm(pin_docs=False)
+    assert eng._block_max_map, "warm() should pin the block-max map"
+    for q in QUERIES:
+        assert rows(eng.search_bm25(q, k=10, use_wand=True)) == cold[q], q
