@@ -64,3 +64,19 @@ def test_query_results_invariant(engines, query):
         for r in b.search(query, max_count=10).collect()
     ]
     assert pa == pb
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """Bin assignment depends only on the doc_id total order, never on
+    the partition layout of the two-stage prefix sum (packing_extras)."""
+    from search_engine_spark.operators.packing_extras import q_pack_sequences
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = [tuple(r) for r in q_pack_sequences(spark, SF_DIR).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = [tuple(r) for r in q_pack_sequences(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a and a == b
