@@ -132,7 +132,8 @@ def run(master: str | None = None, sf_dir: str | None = None,
             .collect()
         ]
         pairs = list(itertools.combinations(vocab, 2))
-        texts = [f"{a} {b}" for a, b in pairs[: batch_n - 16]]
+        n_conj = max(0, batch_n - 16)
+        texts = [f"{a} {b}" for a, b in pairs[:n_conj]]
         texts += [f'"table scan" {t}' for t in vocab[:8]]  # phrase + word
         texts += list(vocab[8:16])  # single-term
         texts = texts[:batch_n]

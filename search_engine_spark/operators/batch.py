@@ -69,16 +69,18 @@ def parse_queries(texts: Sequence[str], stop_words) -> list[dict]:
     """Driver-side parse of every query (engine.ts:106-111): full word
     list + quote pairs, stop-filtered lookup copy, and the reference's
     single-list quirk flag (quote predicate skipped when only one lookup
-    term, engine.ts:398-404)."""
+    term, engine.ts:398-404). Quote expansion is shared with the
+    single-query path (search._quote_pairs) so the two paths cannot
+    drift."""
+    from .search import _quote_pairs
+
     specs = []
     for qid, text in enumerate(texts):
         words, quotes = tokenize(text)
         lookup = [w for w in words if not is_stop_word(w, stop_words)]
         terms = sorted({w.lower() for w in lookup})
-        pairs: list[list[str]] = []
-        for i in range(0, len(quotes), 2):
-            end = quotes[i + 1] if i + 1 < len(quotes) else None
-            pairs.append([w.lower() for w in words[quotes[i]:end]])
+        raw_pairs, _qterms = _quote_pairs(words, quotes)
+        pairs = [[w.lower() for w in p] for p in raw_pairs]
         specs.append(
             {
                 "qid": qid,
@@ -122,7 +124,14 @@ def _query_map_rows(
             continue  # empty-lookup query -> no candidate rows by design
         gids = []
         if s["apply_phrase"]:
-            for pair in s["pairs"]:
+            # empty quote groups are False disjuncts in the single path
+            # (search._adjacency_expr([]) = lit(False), OR-combined):
+            # ignorable next to non-empty groups, but a query whose
+            # groups are ALL empty can never match — no candidate rows
+            nonempty = [p for p in s["pairs"] if p]
+            if not nonempty:
+                continue
+            for pair in nonempty:
                 key = tuple(pair)
                 if key not in gid_of:
                     gid_of[key] = len(gid_of)
@@ -320,7 +329,15 @@ def search_many(
 # query evaluated by the SAME fused machinery, over a term_positions
 # frame derived from the documents table (quote-free guard mirrors
 # q_phrase_search — tokenizer quote handling vs the regex oracle)
-BATCH_DEMO_QUERIES = ["filter join window", "merge", '"table scan"']
+def _batch_demo_queries() -> list[str]:
+    """Built from the SAME constants the oracle SQL interpolates
+    (corpus_queries.CONJ_TERMS/SINGLE_TERM/PHRASE) so the two sides of
+    the batch_search gate can never drift. Lazy import — corpus_queries
+    imports this module at its tail, so a module-level import here would
+    be circular when batch is imported first."""
+    from .corpus_queries import CONJ_TERMS, PHRASE, SINGLE_TERM
+
+    return [" ".join(CONJ_TERMS), SINGLE_TERM, f'"{PHRASE[0]} {PHRASE[1]}"']
 
 
 def q_batch_search(spark, sf_dir: str) -> DataFrame:
@@ -340,7 +357,7 @@ def q_batch_search(spark, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
     )
-    specs = parse_queries(BATCH_DEMO_QUERIES, stop_words=None)
+    specs = parse_queries(_batch_demo_queries(), stop_words=None)
     cand = batch_candidates(spark, tp, specs, cap=100)
     return cand.select(
         F.col("qid").alias("query_id"), "doc_id"

@@ -37,52 +37,51 @@ from .corpus_queries import QUERIES, _TOKS_SQL, _docs, _tokens_df
 PACK_BUDGET = 2048  # tokens per training context
 
 
+# docs per prefix-sum bucket: bucket = doc_id DIV PACK_BUCKET is a PURE
+# FUNCTION of the key — unlike repartitionByRange's sampled boundaries it
+# cannot shift between the offsets pass and the output pass, so the
+# operator needs no persist and no collect to be deterministic
+PACK_BUCKET = 16384
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin packing summary: (bin_id, n_docs, n_tokens, first_doc,
     last_doc) where bin_id = floor(prefix_tokens / budget) over docs in
     ascending doc_id order.
 
-    The global prefix sum is the docids.py two-stage shape — NO global
-    single-partition window: range-partition on doc_id, per-partition
-    token totals collected (one row per partition), partition offsets
-    become a broadcast array literal, and the within-partition running
-    sum is a partition-local window (parallel across partitions). At
-    100 TB the collect is |partitions| rows and everything else is one
-    range shuffle + one map pass + the final bin rollup."""
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    The global prefix sum is two-level, with NO global single-partition
+    window over the corpus: docs hash to buckets by ``doc_id DIV
+    16384``; per-bucket token totals (corpus/16384 rows) get their
+    running offsets in one tiny ordered window; the offsets broadcast
+    back and the within-bucket running sum is a bucket-partitioned
+    window (bounded, parallel). At 10^11 docs the bucket frame is ~6M
+    rows — if that ever dominates, add a third level the same way."""
     t = _tokens_df(spark, sf_dir).select(
-        "doc_id", F.size("toks").cast("long").alias("n")
+        "doc_id",
+        F.size("toks").cast("long").alias("n"),
+        F.expr(f"CAST(doc_id DIV {PACK_BUCKET} AS BIGINT)").alias("bucket"),
     )
-    part = (
-        t.repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("_pid", F.spark_partition_id())
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    part = part.persist()
-    totals = {
-        r["_pid"]: r["s"]
-        for r in part.groupBy("_pid").agg(F.sum("n").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    # flat array literal indexed by partition id (see docids.py: a nested
-    # WHEN chain here costs O(partitions) codegen depth)
-    off_arr = F.array(
-        *[F.lit(int(offsets.get(p, 0))) for p in range(n_parts)]
+    boff = (
+        t.groupBy("bucket")
+        .agg(F.sum("n").alias("bn"))
+        .withColumn("boff", F.coalesce(F.sum("bn").over(wb), F.lit(0)))
+        .select("bucket", "boff")
     )
-    w = (
-        Window.partitionBy("_pid")
+    wd = (
+        Window.partitionBy("bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = (
-        F.element_at(off_arr, F.col("_pid") + 1)
-        + F.coalesce(F.sum("n").over(w), F.lit(0))
+        F.col("boff") + F.coalesce(F.sum("n").over(wd), F.lit(0))
     ).alias("off")
-    out = (
-        part.select("doc_id", "n", off)
+    return (
+        t.join(F.broadcast(boff), "bucket")
+        .select("doc_id", "n", off)
         .select(
             "doc_id",
             "n",
@@ -97,8 +96,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
-    part.unpersist()
-    return out
 
 
 SQL_PACK_SEQUENCES = f"""

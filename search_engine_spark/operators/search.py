@@ -129,6 +129,33 @@ class SearchEngine:
         groups. Candidate tables can still be pinned (or, beyond memory,
         served from pruned scans too — queries only ever read the
         query-term slivers of them)."""
+        if self._warmed:
+            # re-warm advances to the current on-disk snapshot (the
+            # term_stats/blocks refresh contract): release every pinned
+            # frame and re-list the parquet directories — without this a
+            # second warm() re-pins the OLD handles (their file listings
+            # are frozen in the DataFrame) and leaks the old caches
+            for h in (
+                self.postings,
+                self.term_positions,
+                self._term_stats,
+                getattr(self, "_blocks", None),
+                getattr(self, "_docs_proj", None),
+            ):
+                if h is not None:
+                    h.unpersist()
+            self._term_stats = None
+            self._blocks = None
+            self._docs_proj = None
+            self.docs = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docs")
+            )
+            self.postings = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings")
+            )
+            self.term_positions = self.spark.read.parquet(
+                os.path.join(self.index_dir, "term_positions")
+            )
         self.postings = self.postings.persist()
         self.term_positions = self.term_positions.persist()
         # per-term document-frequency stats: one row per term, ~1000x

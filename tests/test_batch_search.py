@@ -31,6 +31,11 @@ QUERIES = [
     "friedrich carl",                 # same signature, different word
                                       # order -> shared candidates but
                                       # per-qid scoring must differ
+    '"" carl friedrich',              # empty quote group only: the
+                                      # single path's predicate is a
+                                      # False disjunct -> zero rows
+    '"carl friedrich" ""',            # empty group next to a real one:
+                                      # ignorable False disjunct
 ]
 
 
@@ -172,3 +177,30 @@ def test_bm25_batch_matches_single_warmed(spark, tmp_path_factory):
         # warm path inlines idf driver-side; scores must still be
         # bit-identical (same fold, same float math)
         assert got.get(i, []) == singles[i]
+
+
+def test_rewarm_refreshes_handles(spark, tmp_path_factory):
+    """warm() called twice must (a) not leak or crash, (b) produce
+    results identical to cold, and (c) re-pin FRESH handles — blocks()
+    and term_stats() short-circuit to pinned frames, so a re-warm that
+    read through them would freeze the first warm's snapshot forever."""
+    eng = build_fixture_engine(
+        spark,
+        CARL_MEMORY,
+        tmp_path_factory.mktemp("rewarm_idx"),
+        config=EngineConfig(score_weights=WEIGHTS),
+    )
+    cold = _singles(eng, QUERIES[:4])
+    eng.warm()
+    first_blocks = eng._blocks
+    first_stats = eng._term_stats
+    eng.warm()
+    # fresh handles (fresh parquet listings): object identity is the
+    # observable — storageLevel can't distinguish old from new because
+    # Spark's CacheManager keys entries by logical plan, and both
+    # handles share the plan (same path)
+    assert eng._blocks is not first_blocks
+    assert eng._term_stats is not first_stats
+    warmed = _singles(eng, QUERIES[:4])
+    for i in range(4):
+        assert warmed[i] == cold[i]
