@@ -239,7 +239,10 @@ def q_bm25_scores_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_scores(spark, sf_dir).orderBy("doc_id")
 
 
-_SQL_BM25_CORE = f"""
+def _bm25_sql_core(terms_in: str) -> str:
+    """Exhaustive-BM25 CTE chain for a literal term list (shared by the
+    bm25_* twins and the wand_topk twin, which uses its own terms)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t FROM documents
 ), docs_dl AS (
@@ -249,7 +252,7 @@ WITH toks AS (
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM (
     SELECT doc_id, dl, unnest(t) AS term FROM docs_dl
-  ) WHERE term IN ({_terms_in}) GROUP BY doc_id, term
+  ) WHERE term IN ({terms_in}) GROUP BY doc_id, term
 ), dfs AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
 ), scored AS (
@@ -266,6 +269,9 @@ WITH toks AS (
 )
 """
 
+
+_SQL_BM25_CORE = _bm25_sql_core(_terms_in)
+
 SQL_BM25_SCORES_ALL = _SQL_BM25_CORE + "SELECT doc_id, score, n_terms FROM per_doc ORDER BY doc_id"
 
 
@@ -280,6 +286,154 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BM25_TOPK = _SQL_BM25_CORE + (
     "SELECT doc_id, score, n_terms FROM per_doc "
     "ORDER BY score DESC, doc_id ASC LIMIT 100"
+)
+
+
+WAND_TERMS = ["scan", "sort"]  # distinct from CONJ_TERMS; df skew differs
+WAND_K = 10
+WAND_RANGE = 8  # doc_ids per aligned block; ~63 ranges on the 500-doc SFs
+WAND_SEED_RANGES = 16  # θ seeded from the 16 highest-bound ranges
+
+
+def q_wand_topk(
+    spark: SparkSession, sf_dir: str, _diag: dict | None = None
+) -> DataFrame:
+    """Doc-aligned block-max WAND top-k, driver-checked against
+    EXHAUSTIVE BM25.
+
+    The oracle twin is the exhaustive scorer (same SQL core as
+    ``bm25_topk``, over ``WAND_TERMS``) — the pruning must therefore be
+    LOSSLESS or the driver's row/hash compare fails. This is the aligned
+    refinement of Block-Max WAND (Ding & Suel, SIGIR'11): blocks are
+    doc_id ranges shared across terms (``block_id = doc_id div RANGE``),
+    so a range's upper bound is Σ over query terms of that range's own
+    block-max contribution — tighter than the classic
+    per-term-global-max bound, and every doc lands in exactly one range,
+    hence ``score(d) ≤ range_bound(range(d))`` and no top-k doc can be
+    pruned. Mirrors ``operators/wand.py`` over the engine's persisted
+    blocks table (reference early-exit analogue,
+    /root/reference/src/engine.ts:391-431); here the blocks are derived
+    in-plan from ``documents`` so the oracle stays pure ANSI SQL.
+
+    1. postings per (term, doc) with the BM25 contribution
+       ``idf*(k1+1) * tf/(tf + k1*(1-b+b*dl/avgdl))``,
+    2. per (term, range) block max; per-range bound = Σ_t block_max,
+    3. θ seeded by exact-scoring each term's best block, minus 1e-6 so
+       the 6-decimal output rounding can never over-prune a boundary tie,
+    4. ranges with bound < θ are discarded (a literal filter + one tiny
+       semi-join — at scale, with the index doc_id-partitioned on the
+       same ranges, this is partition pruning: pruned ranges are never
+       read),
+    5. exact BM25 on surviving docs only, same deterministic term-ordered
+       fold as ``_bm25_scores`` → identical ranks AND scores.
+    """
+    import math as _math
+
+    toks = _tokens_df(spark, sf_dir).withColumn("dl", F.size("toks"))
+    n_docs = float(toks.count())
+    avgdl = float(toks.agg(F.avg("dl").alias("a")).first()["a"])
+
+    tf = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(WAND_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_map = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    present = sorted(df_map)
+    if not present:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_terms long"
+        )
+
+    def _idf(t: str) -> float:
+        d = df_map[t]
+        return _math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+
+    idf_col = F.lit(0.0)
+    for t in present:
+        idf_col = F.when(F.col("term") == t, F.lit(_idf(t))).otherwise(idf_col)
+    contrib = idf_col * F.col("tf").cast("double") * (BM25_K1 + 1.0) / (
+        F.col("tf").cast("double")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    tfb = tf.withColumn("c", contrib).withColumn(
+        "block_id", (F.col("doc_id") / F.lit(WAND_RANGE)).cast("long")
+    )
+    blocks = tfb.groupBy("term", "block_id").agg(F.max("c").alias("bmax"))
+    bounds = blocks.groupBy("block_id").agg(F.sum("bmax").alias("bound"))
+
+    def _exact(cand: DataFrame) -> DataFrame:
+        """Exhaustive-identical scoring of candidate doc_ids (same ordered
+        fold + round(6) as ``_bm25_scores``)."""
+        return (
+            tfb.join(cand.hint("broadcast"), "doc_id")
+            .select("doc_id", "term", F.col("c").alias("s"))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("term", "s"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["s"],
+                    ),
+                    6,
+                ).alias("score"),
+                F.count("*").alias("n_terms"),
+            )
+        )
+
+    # θ seed: exact-score the top seed ranges by their own bound — the
+    # k-th best score among them lower-bounds the global k-th, and since
+    # high-bound ranges are where top docs live, θ lands near the truth
+    seed_ids = (
+        tfb.join(
+            bounds.orderBy(F.desc("bound"), F.asc("block_id"))
+            .limit(WAND_SEED_RANGES)
+            .select("block_id")
+            .hint("broadcast"),
+            "block_id",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    kth = (
+        _exact(seed_ids)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(WAND_K)
+        .collect()
+    )
+    # −1e-6 guard: θ compares against ROUNDED seed scores; the true k-th
+    # unrounded score can sit up to 5e-7 below its rounded value
+    theta = kth[-1]["score"] - 1e-6 if len(kth) >= WAND_K else 0.0
+
+    surviving = bounds.filter(F.col("bound") >= F.lit(theta)).select(
+        "block_id"
+    )
+    cand = (
+        tfb.join(surviving.hint("broadcast"), "block_id")
+        .select("doc_id")
+        .distinct()
+    )
+    if _diag is not None:  # test hook: prove the filter actually prunes
+        _diag["blocks_total"] = bounds.count()
+        _diag["blocks_survived"] = surviving.count()
+        _diag["theta"] = theta
+    return (
+        _exact(cand)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(WAND_K)
+    )
+
+
+SQL_WAND_TOPK = _bm25_sql_core(
+    ", ".join(f"'{t}'" for t in WAND_TERMS)
+) + (
+    "SELECT doc_id, score, n_terms FROM per_doc "
+    f"ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}"
 )
 
 
@@ -1871,6 +2025,7 @@ QUERIES = {
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "bm25_scores_all": (q_bm25_scores_all, SQL_BM25_SCORES_ALL),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "wand_topk": (q_wand_topk, SQL_WAND_TOPK),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_prefix_groups": (q_dedup_prefix_groups, SQL_DEDUP_PREFIX_GROUPS),

@@ -80,3 +80,19 @@ def test_wand_warm_parity(spark, tmp_path_factory):
     assert eng._block_max_map, "warm() should pin the block-max map"
     for q in QUERIES:
         assert rows(eng.search_bm25(q, k=10, use_wand=True)) == cold[q], q
+
+
+def test_wand_driver_entry_prunes_blocks(spark):
+    """The driver-checked ``wand_topk`` entry (corpus_queries) must not be
+    an exhaustive scorer in disguise: on the 500-doc corpus the θ filter
+    has to discard a real fraction of posting blocks while still matching
+    the exhaustive oracle (which test_corpus_oracle asserts separately)."""
+    from search_engine_spark.operators.corpus_queries import q_wand_topk
+
+    diag = {}
+    df = q_wand_topk(spark, SF_DIR, _diag=diag)
+    assert df.count() == 10
+    assert diag["blocks_total"] > diag["blocks_survived"], diag
+    # dense head terms on a tiny corpus still leave most docs competitive;
+    # require at least ~20% of blocks pruned so the bound is doing work
+    assert diag["blocks_survived"] <= 0.8 * diag["blocks_total"], diag
