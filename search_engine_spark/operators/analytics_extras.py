@@ -491,8 +491,97 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# did-you-mean term suggestion (query-side spell correction)
+# --------------------------------------------------------------------------
+
+SUGGEST_TYPOS = ["windwo", "fliter", "srot"]  # typos of window/filter/sort
+SUGGEST_MAX_DIST = 2
+SUGGEST_K = 3
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean suggestions for misspelled query terms: for each typo,
+    the top-3 vocabulary terms within edit distance 2, ranked by
+    (distance asc, document frequency desc, term asc). The reference has
+    no analogue — this is the standard query-assist layer a search engine
+    grows next (cf. the quirk-faithful url/title heuristics it does have,
+    /root/reference/src/engine.ts:197-205).
+
+    Plan shape: ONE pass over the vocabulary (distinct term + df — at
+    scale this is the index's ``term_stats`` table, |V| rows, not the
+    corpus) broadcast-nested-loop-joined against the tiny query-term
+    array. Linear in |V| per query batch and embarrassingly parallel; a
+    SymSpell-style deletion-neighborhood equi-join is the designated
+    upgrade if |V|·|queries| ever matters. ``levenshtein`` is a JVM
+    builtin on both sides (no Python in the plan)."""
+    toks = _tokens_df(spark, sf_dir)
+    vocab = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in SUGGEST_TYPOS])).alias(
+            "query_term"
+        )
+    )
+    cand = (
+        vocab.join(F.broadcast(qs))
+        .withColumn(
+            "dist",
+            F.levenshtein("query_term", "term").cast("long"),
+        )
+        .filter(F.col("dist") <= SUGGEST_MAX_DIST)
+    )
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_term").orderBy(
+                F.asc("dist"), F.desc("df"), F.asc("term")
+            )
+        )
+        .cast("long"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= SUGGEST_K)
+        .select("query_term", "rank", F.col("term").alias("suggestion"),
+                "dist", "df")
+        .orderBy("query_term", "rank")
+    )
+
+
+_typos_in = ", ".join(f"'{t}'" for t in SUGGEST_TYPOS)
+
+SQL_TERM_SUGGEST = f"""
+WITH vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  ) WHERE len(term) >= 2 GROUP BY term
+), qs AS (
+  SELECT unnest([{_typos_in}]) AS query_term
+), cand AS (
+  SELECT query_term, term, CAST(levenshtein(query_term, term) AS BIGINT) AS dist, df
+  FROM qs, vocab
+  WHERE levenshtein(query_term, term) <= {SUGGEST_MAX_DIST}
+), ranked AS (
+  SELECT query_term, term, dist, df,
+         CAST(row_number() OVER (
+           PARTITION BY query_term ORDER BY dist ASC, df DESC, term ASC
+         ) AS BIGINT) AS rank
+  FROM cand
+)
+SELECT query_term, rank, term AS suggestion, dist, df
+FROM ranked WHERE rank <= {SUGGEST_K}
+ORDER BY query_term, rank
+"""
+
+
 EXTRA_QUERIES = {
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
     "moving_event_avg": (q_moving_event_avg, SQL_MOVING_EVENT_AVG),
     "orphan_customers": (q_orphan_customers, SQL_ORPHAN_CUSTOMERS),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
