@@ -24,6 +24,7 @@ from .corpus_queries import (
     STOP_LIST,
     _band_selects,
     _docs,
+    _embeddings,
     _sigs_core,
     _stop_in,
     _tokens_df,
@@ -579,8 +580,213 @@ ORDER BY query_term, rank
 """
 
 
+# --------------------------------------------------------------------------
+# SymSpell spell correction (deletion-neighborhood equi-join — the scale
+# path for term_suggest's broadcast nested-loop)
+# --------------------------------------------------------------------------
+
+SYMSPELL_TYPOS = ["fitler", "scann", "qury"]  # filter/scan/query typos
+SYMSPELL_MAX_DIST = 2
+SYMSPELL_K = 3
+
+# all strings reachable by deleting one character: positions 1..len, each
+# producing prefix[1..i-1] ++ suffix[i+1..]
+_D1_TMPL = (
+    "transform(sequence(1, length({c})), i -> "
+    "concat(substring({c}, 1, i-1), substring({c}, i+1, length({c}))))"
+)
+
+
+def _deletion_variants(col_name: str):
+    """Column expr: the deletion neighborhood of depth 2 of a string
+    column — the string itself, every 1-delete, every 2-delete —
+    deduplicated. |variants| = 1 + n + n(n-1)/2 for length n (word terms,
+    so a few hundred at most). Safe for n >= 1 inputs (vocab terms are
+    length >= 2, so the inner sequence() never sees an empty string)."""
+    d1 = _D1_TMPL.format(c=col_name)
+    d2 = (
+        f"flatten(transform({d1}, t -> transform(sequence(1, length(t)), "
+        "j -> concat(substring(t, 1, j-1), substring(t, j+1, length(t))))))"
+    )
+    return F.expr(f"array_distinct(concat(array({col_name}), {d1}, {d2}))")
+
+
+def q_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell correction via SymSpell (Garbe's deletion-neighborhood
+    trick): if levenshtein(a, b) <= 2 then deleting <= 2 chars from each
+    reaches a common string (delete a's substituted+deleted chars, b's
+    substituted+inserted chars), so depth-2 delete neighborhoods of the
+    typo and the true term always intersect. Candidates therefore come
+    from an EQUI-JOIN on the variant string — O(|V|·L²) precomputable
+    index rows instead of term_suggest's O(|V|·|Q|) nested-loop
+    levenshtein — and the final levenshtein() verification on the
+    (tiny) candidate set makes the result set exactly the brute-force
+    one; the oracle twin IS the brute force, so the driver hash proves
+    the neighborhood argument. At scale the vocab-variant side is built
+    once from the index's term_stats table and bucketed on the variant;
+    per-query work is |variants(q)| ≈ L² hash lookups."""
+    toks = _tokens_df(spark, sf_dir)
+    vocab = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    vocab_var = vocab.select(
+        "term", "df", F.explode(_deletion_variants("term")).alias("variant")
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in SYMSPELL_TYPOS])
+        ).alias("query_term")
+    )
+    q_var = qs.select(
+        "query_term",
+        F.explode(_deletion_variants("query_term")).alias("variant"),
+    )
+    cand = (
+        vocab_var.join(F.broadcast(q_var), "variant")
+        .select("query_term", "term", "df")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein("query_term", "term").cast("long")
+        )
+        .filter(F.col("dist") <= SYMSPELL_MAX_DIST)
+    )
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_term").orderBy(
+                F.asc("dist"), F.desc("df"), F.asc("term")
+            )
+        )
+        .cast("long"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= SYMSPELL_K)
+        .select(
+            "query_term", "rank", F.col("term").alias("suggestion"),
+            "dist", "df",
+        )
+        .orderBy("query_term", "rank")
+    )
+
+
+_symspell_typos_in = ", ".join(f"'{t}'" for t in SYMSPELL_TYPOS)
+
+# the oracle is deliberately the BRUTE-FORCE formulation: matching it
+# bit-for-bit is the proof that the deletion-neighborhood candidate set
+# loses nothing within the verified distance bound
+SQL_SYMSPELL_SUGGEST = f"""
+WITH vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  ) WHERE len(term) >= 2 GROUP BY term
+), qs AS (
+  SELECT unnest([{_symspell_typos_in}]) AS query_term
+), cand AS (
+  SELECT query_term, term,
+         CAST(levenshtein(query_term, term) AS BIGINT) AS dist, df
+  FROM qs, vocab
+  WHERE levenshtein(query_term, term) <= {SYMSPELL_MAX_DIST}
+), ranked AS (
+  SELECT query_term, term, dist, df,
+         CAST(row_number() OVER (
+           PARTITION BY query_term ORDER BY dist ASC, df DESC, term ASC
+         ) AS BIGINT) AS rank
+  FROM cand
+)
+SELECT query_term, rank, term AS suggestion, dist, df
+FROM ranked WHERE rank <= {SYMSPELL_K}
+ORDER BY query_term, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# exact KNN join over embeddings (hard-negative mining / similarity search)
+# --------------------------------------------------------------------------
+
+KNN_QUERIES = 20  # first N vectors act as the query set
+KNN_K = 3
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K cosine neighbors for each of the first KNN_QUERIES
+    vectors (self excluded) — the KNN-join shape of hard-negative mining
+    and batched similarity search, where a whole query SET is answered
+    in one pass instead of per-vector jobs (cosine_topk) or approximate
+    buckets (ann_lsh/ann_ivf, the designated paths when the query side
+    stops fitting in a broadcast). The corpus scans ONCE; the broadcast
+    query block rides to every partition; top-K uses the same salted
+    two-stage window as topk_per_group so no single reducer sees a full
+    query group. Sim is round-4 like the other cosine twins (identical
+    IEEE folds on both engines)."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qs = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "q", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    sim = F.round(dot / (norm(F.col("e")) * norm(F.col("q"))), 4)
+    scored = pairs.select("query_id", "vec_id", sim.alias("cos_sim"))
+    order = [F.desc("cos_sim"), F.asc("vec_id")]
+    stage1 = Window.partitionBy(
+        "query_id", F.col("vec_id") % TOPK_SALTS
+    ).orderBy(*order)
+    stage2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rk", F.row_number().over(stage1))
+        .filter(F.col("rk") <= KNN_K)
+        .drop("rk")
+        .withColumn("rk", F.row_number().over(stage2).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+        .select(
+            "query_id", "rk", F.col("vec_id").alias("neighbor_id"), "cos_sim"
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+SQL_KNN_JOIN = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, e AS q FROM emb WHERE vec_id < {KNN_QUERIES}
+), pairs AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(e, q)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(q, q))), 4) AS cos_sim
+  FROM emb, qs WHERE vec_id != query_id
+)
+SELECT query_id, rk, neighbor_id, cos_sim FROM (
+  SELECT query_id, vec_id AS neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+         ) AS BIGINT) AS rk
+  FROM pairs
+) WHERE rk <= {KNN_K} ORDER BY query_id, rk
+"""
+
+
 EXTRA_QUERIES = {
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "symspell_suggest": (q_symspell_suggest, SQL_SYMSPELL_SUGGEST),
+    "knn_join": (q_knn_join, SQL_KNN_JOIN),
     "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
     "moving_event_avg": (q_moving_event_avg, SQL_MOVING_EVENT_AVG),
     "orphan_customers": (q_orphan_customers, SQL_ORPHAN_CUSTOMERS),

@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from .. import fsio
 from ..config import EngineConfig
+from .deletes import TOMBSTONES
 from .index_build import _append_manifest, build_blocks, read_manifest
 
 STAGING = "_compact_staging"
@@ -87,22 +88,60 @@ def _stage(
     staging: str,
     config: EngineConfig,
     npart: int,
+    tomb_files: list[str],
 ) -> int:
     """Write the compacted copy of every table under ``staging``; the
-    live index is not touched. Returns the postings row count."""
-    codec = config.parquet_codec
+    live index is not touched. Returns the postings row count.
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).drop("seg")
+    Pending tombstones (deletes.py) are applied HERE — the rewrite the
+    compaction does anyway is the one free chance to drop deleted rows
+    physically (Lucene's merge-applies-deletes). corpus_stats is
+    recomputed from the surviving docs during their write (one
+    Observation, no extra job) and staged alongside the tables so
+    BM25's n_docs/avgdl stop counting deleted docs at swap time."""
+    codec = config.parquet_codec
+    # apply exactly the tombstone FILES the caller snapshotted into the
+    # commit marker — a delete appended mid-staging is left pending, not
+    # half-applied
+    mask = None
+    if tomb_files:
+        tomb = spark.read.parquet(
+            *[os.path.join(index_dir, TOMBSTONES, f) for f in tomb_files]
+        )
+        mask = F.broadcast(tomb.select("doc_id"))
+
+    def masked(df):
+        return df.join(mask, "doc_id", "left_anti") if mask is not None else df
+
+    docs = masked(
+        spark.read.parquet(os.path.join(index_dir, "docs")).drop("seg")
+    )
+    doc_obs = Observation("compact_docs")
     (
         docs.repartitionByRange(npart, "doc_id")
         .sortWithinPartitions("doc_id")
+        .observe(
+            doc_obs,
+            F.sum("n_tokens").alias("sum_dl"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .write.mode("overwrite").option("compression", codec)
         .parquet(os.path.join(staging, "docs"))
     )
+    got = doc_obs.get
+    corpus_stats = {
+        "n_docs": int(got["n"]),
+        "avgdl": (float(got["sum_dl"]) / got["n"]) if got["n"] else 0.0,
+    }
+    fsio.write_text(
+        os.path.join(staging, "_corpus_stats.json"), json.dumps(corpus_stats)
+    )
 
-    term_pos = spark.read.parquet(
-        os.path.join(index_dir, "term_positions")
-    ).drop("seg")
+    term_pos = masked(
+        spark.read.parquet(
+            os.path.join(index_dir, "term_positions")
+        ).drop("seg")
+    )
     (
         term_pos.repartitionByRange(npart, "term", "doc_id")
         .sortWithinPartitions("term", "doc_id")
@@ -110,9 +149,9 @@ def _stage(
         .parquet(os.path.join(staging, "term_positions"))
     )
 
-    postings = spark.read.parquet(
-        os.path.join(index_dir, "postings")
-    ).drop("seg")
+    postings = masked(
+        spark.read.parquet(os.path.join(index_dir, "postings")).drop("seg")
+    )
     laid = (
         postings.repartitionByRange(npart, "term", "doc_id")
         .sortWithinPartitions("term", "doc_id")
@@ -124,9 +163,8 @@ def _stage(
         .write.mode("overwrite").option("compression", codec)
         .parquet(os.path.join(staging, "postings"))
     )
-    corpus_stats = json.loads(
-        fsio.read_text(os.path.join(index_dir, "corpus_stats.json"))
-    )
+    # block maxima must use the avgdl the post-swap scorer will read —
+    # the freshly recomputed one (WAND bound validity)
     build_blocks(
         laid,
         os.path.join(staging, "blocks"),
@@ -171,6 +209,17 @@ def _swap(index_dir: str, staging: str, marker: dict) -> None:
     if fsio.exists(src):
         fsio.delete(dst)
         fsio.rename(src, dst)
+    stats_src = os.path.join(staging, "_corpus_stats.json")
+    if fsio.exists(stats_src):
+        fsio.write_text(
+            os.path.join(index_dir, "corpus_stats.json"),
+            fsio.read_text(stats_src),
+        )
+    # clear ONLY the tombstone files the staging pass actually applied —
+    # a delete landing inside the crash/commit window survives for the
+    # next compaction instead of being dropped unapplied
+    for f in marker.get("tombstone_files", []):
+        fsio.delete(os.path.join(index_dir, TOMBSTONES, f))
 
 
 def compact_index(
@@ -194,7 +243,18 @@ def compact_index(
         marker = json.loads(fsio.read_text(marker_path))
     else:
         replaces = {t: _segments(index_dir, t) for t in TABLES}
-        if len(replaces["postings"]) <= 1:
+        tdir = os.path.join(index_dir, TOMBSTONES)
+        tomb_files = (
+            [
+                f for f in fsio.list_dir(tdir)
+                if f.startswith("part-")
+            ]
+            if fsio.exists(tdir)
+            else []
+        )
+        # single segment AND nothing to delete -> true no-op; pending
+        # tombstones force a rewrite even of a single-segment index
+        if len(replaces["postings"]) <= 1 and not tomb_files:
             return CompactResult(
                 index_dir=index_dir, label=None, replaced=[],
                 n_postings=0, bytes_before=0, bytes_after=0,
@@ -209,12 +269,26 @@ def compact_index(
             fsio.dir_bytes(os.path.join(index_dir, t)) for t in TABLES
         )
         fsio.delete(staging)  # drop any pre-marker debris from a crash
-        n_postings = _stage(spark, index_dir, staging, config, npart)
+        # doc-id high-water mark BEFORE deletes are applied: if the
+        # newest docs are tombstoned, the physical max(doc_id) shrinks
+        # at swap and a later append_batch would reuse a dead doc's id —
+        # the manifest carries the mark forward instead (parquet column
+        # statistics make this max() a metadata-cheap job)
+        hwm_row = (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .agg(F.max("doc_id").alias("m"))
+            .first()
+        )
+        n_postings = _stage(
+            spark, index_dir, staging, config, npart, tomb_files
+        )
         marker = {
             "label": label,
             "replaces": replaces,
             "n_postings": n_postings,
             "bytes_before": bytes_before,
+            "tombstone_files": tomb_files,
+            "max_doc_id": int(hwm_row["m"] or 0),
         }
         fsio.write_text(marker_path, json.dumps(marker))
 
@@ -231,6 +305,8 @@ def compact_index(
         "segment": marker["label"],
         "ok": True,
         "replaces": marker["replaces"]["postings"],
+        "n_tombstone_files_applied": len(marker.get("tombstone_files", [])),
+        "max_doc_id": marker.get("max_doc_id", 0),
         "n_postings": marker["n_postings"],
         "bytes_before": marker["bytes_before"],
         "bytes_after": bytes_after,

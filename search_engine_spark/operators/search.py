@@ -74,16 +74,43 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self.config = config
-        self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self.term_positions = spark.read.parquet(
-            os.path.join(index_dir, "term_positions")
-        )
+        self._load_tables()
         self.corpus_stats = json.loads(
             fsio.read_text(os.path.join(index_dir, "corpus_stats.json"))
         )
         self._warmed = False
         self._term_stats: Optional[DataFrame] = None
+
+    def _load_tables(self) -> None:
+        """(Re)list the row-level tables and mask pending tombstones
+        (deletes.py). The anti-join is against the broadcast tombstone
+        set — deleted docs vanish from EVERY query path at once (parity
+        search, BM25, batch, and WAND, whose exact-score stage joins
+        ``postings``), while term-level stats (term_stats/blocks, df,
+        avgdl) stay as-built until compaction applies the deletes
+        physically — Lucene's serve-with-deletes contract. Catalyst
+        still pushes per-query term/id filters below the anti-join into
+        the parquet scans (plan-asserted in tests)."""
+        from .deletes import read_tombstones
+
+        spark, index_dir = self.spark, self.index_dir
+        self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.term_positions = spark.read.parquet(
+            os.path.join(index_dir, "term_positions")
+        )
+        tomb = read_tombstones(spark, index_dir)
+        self._n_tombstones: Optional[int] = None if tomb is not None else 0
+        if tomb is not None:
+            mask = F.broadcast(tomb.select("doc_id"))
+            self._tombstones = tomb
+            self.docs = self.docs.join(mask, "doc_id", "left_anti")
+            self.postings = self.postings.join(mask, "doc_id", "left_anti")
+            self.term_positions = self.term_positions.join(
+                mask, "doc_id", "left_anti"
+            )
+        else:
+            self._tombstones = None
 
     def term_stats(self) -> DataFrame:
         """(term, df, max_tf). Cold engines resolve the parquet listing
@@ -147,15 +174,7 @@ class SearchEngine:
             self._term_stats = None
             self._blocks = None
             self._docs_proj = None
-            self.docs = self.spark.read.parquet(
-                os.path.join(self.index_dir, "docs")
-            )
-            self.postings = self.spark.read.parquet(
-                os.path.join(self.index_dir, "postings")
-            )
-            self.term_positions = self.spark.read.parquet(
-                os.path.join(self.index_dir, "term_positions")
-            )
+            self._load_tables()  # re-lists files AND re-reads tombstones
         self.postings = self.postings.persist()
         self.term_positions = self.term_positions.persist()
         # per-term document-frequency stats: one row per term, ~1000x
@@ -267,8 +286,13 @@ class SearchEngine:
 
     # -- Q16 ---------------------------------------------------------------
     def count(self) -> int:
-        """Page count (memory-storage.ts:108-110)."""
-        return int(self.corpus_stats["n_docs"])
+        """Page count (memory-storage.ts:108-110), net of pending
+        tombstones. The tombstone count is one tiny-scan job, computed
+        lazily and cached for the engine's lifetime (a snapshot, like
+        every other handle here — reopen/re-warm to advance)."""
+        if self._n_tombstones is None:
+            self._n_tombstones = self._tombstones.count()
+        return int(self.corpus_stats["n_docs"]) - self._n_tombstones
 
     # -- Q1-Q15 ------------------------------------------------------------
     def search(self, text: str, max_count: int = 100) -> DataFrame:

@@ -38,16 +38,28 @@ from ..operators.docids import with_global_sequence_counted
 from ..operators.index_build import (
     _append_manifest,
     build_blocks,
+    read_manifest,
     stop_word_filter,
 )
 
 
 def _max_doc_id(spark: SparkSession, index_dir: str) -> int:
+    """Doc-id high-water mark for the next append. Folds in the marks
+    the manifest carries (build bounds, compaction's pre-delete
+    max_doc_id) so ids of docs deleted-then-compacted away are never
+    reused for new documents."""
     docs_dir = os.path.join(index_dir, "docs")
     if not fsio.is_dir(docs_dir):
         return 0
     row = spark.read.parquet(docs_dir).agg(F.max("doc_id").alias("m")).first()
-    return int(row["m"] or 0)
+    manifest_hwm = max(
+        (
+            int(e.get("max_doc_id") or e.get("max_id") or 0)
+            for e in read_manifest(index_dir)
+        ),
+        default=0,
+    )
+    return max(int(row["m"] or 0), manifest_hwm)
 
 
 def append_batch(
