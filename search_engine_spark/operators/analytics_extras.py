@@ -581,6 +581,77 @@ ORDER BY query_term, rank
 
 
 # --------------------------------------------------------------------------
+# quality-policy survivor selection per near-dup cluster
+# --------------------------------------------------------------------------
+
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-near-dup-cluster survivor under a QUALITY policy (keep the
+    longest document, ties to the lowest doc_id) plus the audit columns
+    a dedup pipeline reports: members, dropped count, survivor length.
+    Complements dedup_survivors, whose keep-the-minimum-id policy is
+    positional; real pipelines keep the best copy, not the first. The
+    per-cluster window is bounded (near-dup clusters are small by
+    construction); everything else is one join of the small cluster
+    table against the corpus projection."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "survivor_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "survivor_chars"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )
+
+
+SQL_CLUSTER_SURVIVORS = f"""
+WITH RECURSIVE {_sigs_core},
+bands AS ({_band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u
+),
+ranked AS (
+  SELECT c.cluster, c.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.doc_id ASC
+         ) AS rk
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+       max(CASE WHEN rk = 1 THEN n_chars END) AS survivor_chars,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY cluster ORDER BY cluster
+"""
+
+
+# --------------------------------------------------------------------------
 # SymSpell spell correction (deletion-neighborhood equi-join — the scale
 # path for term_suggest's broadcast nested-loop)
 # --------------------------------------------------------------------------
@@ -589,26 +660,8 @@ SYMSPELL_TYPOS = ["fitler", "scann", "qury"]  # filter/scan/query typos
 SYMSPELL_MAX_DIST = 2
 SYMSPELL_K = 3
 
-# all strings reachable by deleting one character: positions 1..len, each
-# producing prefix[1..i-1] ++ suffix[i+1..]
-_D1_TMPL = (
-    "transform(sequence(1, length({c})), i -> "
-    "concat(substring({c}, 1, i-1), substring({c}, i+1, length({c}))))"
-)
-
-
-def _deletion_variants(col_name: str):
-    """Column expr: the deletion neighborhood of depth 2 of a string
-    column — the string itself, every 1-delete, every 2-delete —
-    deduplicated. |variants| = 1 + n + n(n-1)/2 for length n (word terms,
-    so a few hundred at most). Safe for n >= 1 inputs (vocab terms are
-    length >= 2, so the inner sequence() never sees an empty string)."""
-    d1 = _D1_TMPL.format(c=col_name)
-    d2 = (
-        f"flatten(transform({d1}, t -> transform(sequence(1, length(t)), "
-        "j -> concat(substring(t, 1, j-1), substring(t, j+1, length(t))))))"
-    )
-    return F.expr(f"array_distinct(concat(array({col_name}), {d1}, {d2}))")
+# deletion-neighborhood expr shared with SearchEngine.suggest
+from ..functions.suggest import deletion_variants as _deletion_variants  # noqa: E402
 
 
 def q_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +840,7 @@ EXTRA_QUERIES = {
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "symspell_suggest": (q_symspell_suggest, SQL_SYMSPELL_SUGGEST),
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "cluster_survivors": (q_cluster_survivors, SQL_CLUSTER_SURVIVORS),
     "term_suggest": (q_term_suggest, SQL_TERM_SUGGEST),
     "moving_event_avg": (q_moving_event_avg, SQL_MOVING_EVENT_AVG),
     "orphan_customers": (q_orphan_customers, SQL_ORPHAN_CUSTOMERS),

@@ -465,6 +465,68 @@ class SearchEngine:
 
         return bm25_many(self, texts, k=k, conjunctive=conjunctive)
 
+    # -- did-you-mean -------------------------------------------------------
+    def suggest(self, text: str, max_dist: int = 2, k: int = 3) -> DataFrame:
+        """Spell suggestions for every query term against the INDEX
+        vocabulary (term_stats): (query_term, rank, suggestion, dist,
+        df), best first per term — dist 0 means the term is spelled
+        correctly. Candidates come from a SymSpell depth-2
+        deletion-neighborhood equi-join (functions/suggest.py) and are
+        verified with JVM ``levenshtein``, so the result equals brute
+        force without an all-vocab nested loop: the vocab side is |V|·L²
+        variant rows built from the term_stats table (|V| rows, ~1000×
+        smaller than postings), the query side a broadcast handful."""
+        words, _ = tokenize(text)
+        terms = sorted({w.lower() for w in words if len(w) >= 2})
+        out_schema = (
+            "query_term string, rank long, suggestion string, "
+            "dist long, df long"
+        )
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        from ..functions.suggest import deletion_variants
+
+        vocab = self.term_stats().select("term", "df")
+        vocab_var = vocab.select(
+            "term", "df", F.explode(deletion_variants("term")).alias("variant")
+        )
+        qs = self.spark.range(1).select(
+            F.explode(F.array(*[F.lit(t) for t in terms])).alias("query_term")
+        )
+        q_var = qs.select(
+            "query_term",
+            F.explode(deletion_variants("query_term")).alias("variant"),
+        )
+        cand = (
+            vocab_var.join(F.broadcast(q_var), "variant")
+            .select("query_term", "term", "df")
+            .distinct()
+            .withColumn(
+                "dist", F.levenshtein("query_term", "term").cast("long")
+            )
+            .filter(F.col("dist") <= max_dist)
+        )
+        from pyspark.sql import Window
+
+        ranked = cand.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_term").orderBy(
+                    F.asc("dist"), F.desc("df"), F.asc("term")
+                )
+            )
+            .cast("long"),
+        )
+        return (
+            ranked.filter(F.col("rank") <= k)
+            .select(
+                "query_term", "rank", F.col("term").alias("suggestion"),
+                "dist", F.col("df").cast("long").alias("df"),
+            )
+            .orderBy("query_term", "rank")
+        )
+
     # -- BM25 (scale path; see bm25.py / wand.py) ---------------------------
     def search_bm25(self, text: str, k: int = 10, conjunctive: bool = False,
                     use_wand: bool = False) -> DataFrame:

@@ -61,6 +61,18 @@ def main() -> None:
                 print(f"* {r['title']}  [{r['url']}]")
                 print(f"    {r['introduction']}")
         print(f"-- {len(rows)} hits in {dt:.1f} ms")
+        if not rows:
+            # did-you-mean: best correction per misspelled term
+            fixes = [
+                r
+                for r in engine.suggest(query).collect()
+                if r["rank"] == 1 and r["dist"] > 0
+            ]
+            if fixes:
+                print(
+                    "   did you mean: "
+                    + " ".join(f"{r['query_term']}→{r['suggestion']}" for r in fixes)
+                )
 
 
 if __name__ == "__main__":
