@@ -222,6 +222,37 @@ def _swap(index_dir: str, staging: str, marker: dict) -> None:
         fsio.delete(os.path.join(index_dir, TOMBSTONES, f))
 
 
+def compact_if_needed(
+    spark: SparkSession,
+    index_dir: str,
+    max_segments: int = 8,
+    config: EngineConfig = EngineConfig(),
+    npart: int | None = None,
+) -> CompactResult:
+    """Compaction POLICY for long-running ingest: merge only when the
+    log-structured run count exceeds ``max_segments`` (or an interrupted
+    compaction / pending tombstone backlog must be finished — those are
+    correctness debts, not layout preferences, so they always run).
+    Keeps steady-state ingest O(batch) while bounding the per-term block
+    fragmentation WAND's pruning degrades under; the Lucene tiered-merge
+    idea reduced to the single knob a segment-per-batch layout needs."""
+    staging_marker = os.path.join(index_dir, STAGING, "_STAGED.json")
+    tdir = os.path.join(index_dir, TOMBSTONES)
+    pending_tombstones = fsio.exists(tdir) and any(
+        f.startswith("part-") for f in fsio.list_dir(tdir)
+    )
+    if (
+        len(_segments(index_dir, "postings")) <= max_segments
+        and not fsio.exists(staging_marker)
+        and not pending_tombstones
+    ):
+        return CompactResult(
+            index_dir=index_dir, label=None, replaced=[], n_postings=0,
+            bytes_before=0, bytes_after=0, seconds=0.0, compacted=False,
+        )
+    return compact_index(spark, index_dir, config=config, npart=npart)
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,

@@ -192,11 +192,15 @@ def stream_build(
     config: EngineConfig = EngineConfig(),
     max_files_per_trigger: int | None = None,
     refresh: bool = True,
+    auto_compact_segments: int | None = None,
 ):
     """Drain transcript parquet files from ``input_dir`` into the index via
     Structured Streaming (``trigger(availableNow)``): one segment per
     micro-batch, exactly-once per file via the stream checkpoint, then a
-    stats refresh so the index is immediately queryable."""
+    stats refresh so the index is immediately queryable.
+    ``auto_compact_segments`` bounds log-structured fragmentation: after
+    the drain (and refresh), segments merge-compact when their count
+    exceeds the threshold (operators/compaction.compact_if_needed)."""
     reader = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
     )
@@ -219,4 +223,11 @@ def stream_build(
     q.awaitTermination()
     if refresh:
         refresh_stats(spark, index_dir, config=config)
+    if auto_compact_segments is not None:
+        from ..operators.compaction import compact_if_needed
+
+        compact_if_needed(
+            spark, index_dir, max_segments=auto_compact_segments,
+            config=config,
+        )
     return q

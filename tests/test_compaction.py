@@ -107,6 +107,45 @@ def test_compact_preserves_results_and_merges_segments(
     ) == 1
 
 
+def test_compact_if_needed_policy(spark, tmp_path):
+    """The streaming-ingest compaction policy: below the segment
+    threshold it is a no-op; correctness debts (pending tombstones)
+    force a run regardless; above the threshold it compacts."""
+    from search_engine_spark.operators.compaction import compact_if_needed
+    from search_engine_spark.operators.deletes import (
+        delete_docs,
+        read_tombstones,
+    )
+
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS)
+    idx = str(tmp_path / "index")
+    build_index(spark, _corpus(spark), idx, config=cfg, segments=3)
+
+    # 3 segments <= threshold 4 -> layout is fine, nothing runs
+    assert not compact_if_needed(spark, idx, max_segments=4, config=cfg).compacted
+    assert len(_segments(idx, "postings")) == 3
+
+    # a pending tombstone is a correctness debt -> runs despite threshold
+    victim = SearchEngine(spark, idx, config=cfg).search("window").collect()[0]
+    assert delete_docs(spark, idx, urls=[victim["url"]]) == 1
+    assert compact_if_needed(spark, idx, max_segments=4, config=cfg).compacted
+    assert read_tombstones(spark, idx) is None
+    assert len(_segments(idx, "postings")) == 1
+
+    # grow past the threshold -> compacts on count alone
+    corpus = _corpus(spark)
+    assert append_batch(
+        spark, corpus.filter("turn_idx >= 6"), idx, "sA", config=cfg
+    ) > 0
+    assert not compact_if_needed(spark, idx, max_segments=2, config=cfg).compacted
+    assert append_batch(
+        spark, corpus.filter("turn_idx = 5"), idx, "sB", config=cfg
+    ) > 0
+    assert len(_segments(idx, "postings")) == 3
+    assert compact_if_needed(spark, idx, max_segments=2, config=cfg).compacted
+    assert len(_segments(idx, "postings")) == 1
+
+
 def test_compact_crash_after_staging_resumes(spark, tmp_path):
     cfg = EngineConfig(stop_words=DEMO_STOP_WORDS)
     idx = str(tmp_path / "index")
