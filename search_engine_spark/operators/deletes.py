@@ -34,7 +34,7 @@ import os
 import time
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsio
@@ -103,14 +103,22 @@ def delete_docs(
             F.broadcast(existing.select("doc_id")), "doc_id", "left_anti"
         )
 
-    obs = Observation("delete_docs")
+    # count BEFORE writing: a request matching nothing must not leave an
+    # empty tombstone part file behind — read_tombstones / the compaction
+    # policy treat any part file as a pending backlog, so an empty one
+    # would force spurious rewrites forever. Deletes are rare operational
+    # actions; the extra tiny-scan job is irrelevant.
+    asked = asked.persist()
+    n_new = asked.count()
+    if n_new == 0:
+        asked.unpersist()
+        return 0
     (
-        asked.observe(obs, F.count(F.lit(1)).alias("n"))
-        .write.mode("append")
+        asked.write.mode("append")
         .option("compression", config.parquet_codec)
         .parquet(_tomb_dir(index_dir))
     )
-    n_new = int(obs.get["n"])
+    asked.unpersist()
     _append_manifest(
         index_dir,
         {

@@ -170,6 +170,18 @@ def test_deleted_doc_ids_are_never_reused(spark, tmp_path):
     assert appended_min == hwm + 1  # dead id not recycled
 
 
+def test_no_match_delete_leaves_no_tombstones(spark, index):
+    """A delete matching nothing must not create tombstone files — an
+    empty part file would read as a pending backlog and force the
+    compaction policy to rewrite the index forever."""
+    from search_engine_spark.operators.compaction import compact_if_needed
+
+    idx, cfg = index
+    assert delete_docs(spark, idx, urls=["no-such"], doc_ids=[10**12]) == 0
+    assert read_tombstones(spark, idx) is None
+    assert not compact_if_needed(spark, idx, max_segments=8, config=cfg).compacted
+
+
 def test_masked_scan_keeps_term_pushdown(spark, index):
     """The tombstone anti-join must not cost the postings scan its
     pushed term IN-list — Catalyst pushes the query's term filter below
