@@ -219,6 +219,18 @@ def main() -> dict:
     md.append("```json")
     md.append(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
     md.append("```")
+    # regenerate only the measured head; keep every hand-written section
+    # after the JSON block (regression tables, batch-serving numbers, the
+    # latency-vs-reference discussion) across refreshes
+    if out_md.exists():
+        old = out_md.read_text()
+        fence = old.find("```json")
+        if fence != -1:
+            close = old.find("```", fence + len("```json"))
+            if close != -1:
+                tail = old[close + 3:]
+                if tail.strip():
+                    md.append(tail.rstrip("\n"))
     out_md.write_text("\n".join(md) + "\n")
 
     print(json.dumps(summary))
