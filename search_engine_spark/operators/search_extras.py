@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 
 from .corpus_queries import (
     QUERIES,
+    _SQL_BM25_CORE,
     _TOKS_SQL,
     CONJ_TERMS,
     _docs,
+    _embeddings,
     _tokens_df,
 )
 
@@ -223,11 +225,242 @@ SELECT term, rk, doc_id, tf FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# negated (AND NOT) search: boolean queries with exclusion terms
+# --------------------------------------------------------------------------
+
+NEG_POS_TERMS = ["filter", "join"]
+NEG_TERM = "merge"
+
+
+def q_negated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``filter AND join AND NOT merge``. All three terms ride ONE pushed
+    ``term IN (...)`` postings scan and one aggregation — the exclusion is
+    a conditional count in the same groupBy, not a separate anti-join
+    pass, so the negation costs nothing extra at 100 TB (the NOT term's
+    posting list is read once, like a positive term's)."""
+    toks = _tokens_df(spark, sf_dir)
+    all_terms = NEG_POS_TERMS + [NEG_TERM]
+    ex = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .distinct()
+    )
+    hit = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("term") == t, 1).otherwise(0)
+    )
+    return (
+        ex.groupBy("doc_id")
+        .agg(*[hit(t).alias(f"h{i}") for i, t in enumerate(all_terms)])
+        .filter(
+            (F.col("h0") > 0) & (F.col("h1") > 0) & (F.col("h2") == 0)
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+_neg_in = ", ".join(f"'{t}'" for t in NEG_POS_TERMS + [NEG_TERM])
+SQL_NEGATED_SEARCH = f"""
+SELECT doc_id FROM (
+  SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+) WHERE term IN ({_neg_in})
+GROUP BY doc_id
+HAVING count(*) FILTER (WHERE term = '{NEG_POS_TERMS[0]}') > 0
+   AND count(*) FILTER (WHERE term = '{NEG_POS_TERMS[1]}') > 0
+   AND count(*) FILTER (WHERE term = '{NEG_TERM}') = 0
+ORDER BY doc_id LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# facet counts: per-facet histogram of a result set (search-UI staple)
+# --------------------------------------------------------------------------
+
+FACET_TERM = "merge"
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, source) facet counts for the docs matching a term — the
+    aggregation a search UI renders next to results. One narrow filtered
+    scan + one partial-aggregated shuffle on the (tiny) facet key space;
+    at scale the match filter is the same pushed postings semi-join the
+    search path uses, so facets ride the query's own candidate set."""
+    from ..functions.tokenizer import tokenize_expr
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(
+            F.array_contains(
+                tokenize_expr(F.col("text"), lower_case=True), FACET_TERM
+            )
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "source")
+    )
+
+
+SQL_FACET_COUNTS = f"""
+SELECT lang, source, count(*) AS n_docs FROM documents
+WHERE list_contains({_TOKS_SQL}, '{FACET_TERM}')
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+# --------------------------------------------------------------------------
+# posting-length histogram: index-shape diagnostics (Zipf skew evidence)
+# --------------------------------------------------------------------------
+
+def q_posting_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucket histogram of posting-list lengths (df per term) — the
+    skew diagnostic that justifies the build's range-partitioned postings
+    layout (a head bucket holding Zipf terms is visible here). Bucket is
+    computed with INTEGER arithmetic (binary-digit count, not float log2,
+    which misrounds at exact powers of two on some libm builds)."""
+    toks = _tokens_df(spark, sf_dir)
+    dfs = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    bucket = (
+        F.length(F.conv(F.col("df").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        dfs.groupBy(bucket.alias("log2_df"))
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+        )
+        .orderBy("log2_df")
+    )
+
+
+SQL_POSTING_LENGTH_HIST = f"""
+SELECT CAST(length(printf('%b', df)) - 1 AS BIGINT) AS log2_df,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS total_postings
+FROM (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  ) GROUP BY term
+) GROUP BY log2_df ORDER BY log2_df
+"""
+
+
+# --------------------------------------------------------------------------
+# hybrid search: BM25 + vector cosine fused by reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_LIST = 20  # depth of each input ranking
+RRF_TOPK = 10
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 top-20 (lexical) and cosine top-20
+    (vector, query = embedding 0, vec_id aligned with doc_id) fused by
+    reciprocal-rank fusion ``Σ 1/(60+rank)``. Both input rankings are the
+    engine's existing scale paths (pushed postings scan + broadcast
+    stats; broadcast query vector); the fusion itself joins two ≤20-row
+    frames — driver-trivial at any corpus size. Ranks carried in the
+    output so the fusion is auditable."""
+    from .corpus_queries import _bm25_scores
+
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .select("doc_id", "lex_rank")
+    )
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("q"))
+    dot = F.aggregate(
+        F.zip_with("e", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sim = F.round(dot / (norm(F.col("e")) * norm(F.col("q"))), 4)
+    w_vec = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(RRF_LIST)
+        .withColumn("vec_rank", F.row_number().over(w_vec).cast("long"))
+        .select("doc_id", "vec_rank")
+    )
+
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_K) + F.col(c)), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(contrib("lex_rank") + contrib("vec_rank"), 6).alias(
+                "rrf_score"
+            ),
+            "lex_rank",
+            "vec_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+    )
+
+
+SQL_HYBRID_RRF = _SQL_BM25_CORE + f"""
+, lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS lex_rank
+  FROM (SELECT doc_id, score FROM per_doc
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_LIST})
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+  FROM embeddings, qv WHERE vec_id <> 0
+), vec AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT)
+           AS vec_rank
+  FROM (SELECT doc_id, cos_sim FROM cos
+        ORDER BY cos_sim DESC, doc_id ASC LIMIT {RRF_LIST})
+)
+SELECT doc_id,
+       round(coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank), 0.0)
+             + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + vec_rank), 0.0), 6)
+         AS rrf_score,
+       lex_rank, vec_rank
+FROM lex FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOPK}
+"""
+
+
 EXTRA_QUERIES = {
     "disjunctive_search": (q_disjunctive_search, SQL_DISJUNCTIVE_SEARCH),
     "prefix_search": (q_prefix_search, SQL_PREFIX_SEARCH),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "champion_lists": (q_champion_lists, SQL_CHAMPION_LISTS),
+    "negated_search": (q_negated_search, SQL_NEGATED_SEARCH),
+    "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
+    "posting_length_hist": (q_posting_length_hist, SQL_POSTING_LENGTH_HIST),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
 }
 
 QUERIES.update(EXTRA_QUERIES)
