@@ -465,6 +465,17 @@ class SearchEngine:
 
         return bm25_many(self, texts, k=k, conjunctive=conjunctive)
 
+    # -- extended boolean syntax (see boolean.py) ----------------------------
+    def search_boolean(self, text: str, max_count: int = 100) -> DataFrame:
+        """Extended boolean filter: ``word`` (AND), ``-word`` (AND NOT),
+        ``word*`` (prefix). Returns (doc_id, title, url) in candidate
+        order (doc_id asc); compose with :meth:`search_bm25` for ranked
+        retrieval. One pushed postings scan + one aggregation — the
+        exclusion and prefix atoms add no extra passes."""
+        from .boolean import search_boolean
+
+        return search_boolean(self, text, max_count=max_count)
+
     # -- did-you-mean -------------------------------------------------------
     def suggest(self, text: str, max_dist: int = 2, k: int = 3) -> DataFrame:
         """Spell suggestions for every query term against the INDEX
