@@ -47,6 +47,15 @@ def main() -> None:
         if not query:
             break
         t0 = time.time()
+        if any(a.startswith("-") or a.endswith("*") for a in query.split()):
+            # extended boolean syntax (operators/boolean.py): filter
+            # surface, candidate (doc_id) order, no scoring
+            rows = engine.search_boolean(query, max_count=args.k).collect()
+            dt = 1000 * (time.time() - t0)
+            for r in rows:
+                print(f"* {r['title']}  [{r['url']}]")
+            print(f"-- {len(rows)} hits in {dt:.1f} ms (boolean filter)")
+            continue
         if args.bm25 or args.wand:
             rows = engine.search_bm25(
                 query, k=args.k, use_wand=args.wand
