@@ -47,6 +47,10 @@ HEADLINE_QUERIES = {
     "bm25_conjunctive": lambda e: e.search_bm25(
         "filter join window", k=10, conjunctive=True
     ),
+    # extended boolean filter (exclusion + prefix, one pushed scan)
+    "search_boolean": lambda e: e.search_boolean(
+        "window -merge sc*", max_count=10
+    ),
 }
 
 

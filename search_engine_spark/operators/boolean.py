@@ -41,18 +41,21 @@ BOOLEAN_RESULT_SCHEMA = "doc_id long, title string, url string"
 
 def parse_boolean_query(
     text: str, stop_words
-) -> tuple[list[str], list[str], list[str]]:
+) -> tuple[list[str], list[str], list[str], list[str]]:
     """Split on whitespace BEFORE tokenizing so the ``-``/``*`` markers
     survive (the tokenizer strips punctuation); each atom's body is then
-    normalized by the engine tokenizer. Multi-token atoms: a negated
-    atom excludes all its tokens; a prefix atom's last token is the
-    prefix, earlier tokens become required words. Stop words and
-    sub-2-char words are dropped from required/excluded — they are never
-    indexed (B4), so excluding one is a no-op and requiring one would
-    match nothing."""
+    normalized by the engine tokenizer. Returns ``(required, excluded,
+    prefixes, excluded_prefixes)`` — ``-word*`` composes both markers
+    (exclude ANY term with that prefix). Multi-token atoms: a negated
+    atom excludes all its tokens (the last one as a prefix if starred);
+    a positive prefix atom's last token is the prefix, earlier tokens
+    become required words. Stop words and sub-2-char words are dropped
+    from required/excluded — they are never indexed (B4), so excluding
+    one is a no-op and requiring one would match nothing."""
     required: list[str] = []
     excluded: list[str] = []
     prefixes: list[str] = []
+    excluded_prefixes: list[str] = []
     for atom in text.split():
         neg = atom.startswith("-")
         body = atom[1:] if neg else atom
@@ -62,7 +65,10 @@ def parse_boolean_query(
         words = [w.lower() for w in tokenize(body).words]
         if not words:
             continue
-        if neg:
+        if neg and star:
+            excluded.extend(words[:-1])
+            excluded_prefixes.append(words[-1])
+        elif neg:
             excluded.extend(words)
         elif star:
             required.extend(words[:-1])
@@ -75,7 +81,12 @@ def parse_boolean_query(
             {w for w in ws if len(w) >= 2 and not is_stop_word(w, stop_words)}
         )
 
-    return indexed(required), indexed(excluded), sorted(set(prefixes))
+    return (
+        indexed(required),
+        indexed(excluded),
+        sorted(set(prefixes)),
+        sorted(set(excluded_prefixes)),
+    )
 
 
 def boolean_candidates(
@@ -83,14 +94,19 @@ def boolean_candidates(
     required: Sequence[str],
     excluded: Sequence[str],
     prefixes: Sequence[str],
+    excluded_prefixes: Sequence[str] = (),
 ) -> DataFrame:
     """(doc_id) matching ``AND(required) AND NOT(excluded) AND
-    AND(prefixes)`` — one pushed postings scan, one aggregation."""
+    AND(prefixes) AND NOT(excluded_prefixes)`` — one pushed postings
+    scan, one aggregation."""
     preds = []
     in_set = list(required) + list(excluded)
     if in_set:
         preds.append(F.col("term").isin(in_set))
-    preds.extend(F.col("term").startswith(p) for p in prefixes)
+    preds.extend(
+        F.col("term").startswith(p)
+        for p in list(prefixes) + list(excluded_prefixes)
+    )
     scan = reduce(or_, preds)
     p = engine.postings.select("doc_id", "term").filter(scan)
 
@@ -104,10 +120,18 @@ def boolean_candidates(
                 F.when(F.col("term").startswith(pre), 1).otherwise(0)
             ).alias(f"_pf{i}")
         )
+    for i, pre in enumerate(excluded_prefixes):
+        aggs.append(
+            F.max(
+                F.when(F.col("term").startswith(pre), 1).otherwise(0)
+            ).alias(f"_xpf{i}")
+        )
     agg = p.groupBy("doc_id").agg(*aggs)
     cond = (F.col("n_req") == len(required)) & (F.col("n_exc") == 0)
     for i in range(len(prefixes)):
         cond = cond & (F.col(f"_pf{i}") == 1)
+    for i in range(len(excluded_prefixes)):
+        cond = cond & (F.col(f"_xpf{i}") == 0)
     return agg.filter(cond).select("doc_id")
 
 
@@ -118,13 +142,15 @@ def search_boolean(engine, text: str, max_count: int = 100) -> DataFrame:
     intersection stage."""
     from .search import INTERSECT_CAP
 
-    required, excluded, prefixes = parse_boolean_query(
+    required, excluded, prefixes, excluded_prefixes = parse_boolean_query(
         text, engine.config.stop_words
     )
     if not required and not prefixes:
         return engine.spark.createDataFrame([], BOOLEAN_RESULT_SCHEMA)
     cand = (
-        boolean_candidates(engine, required, excluded, prefixes)
+        boolean_candidates(
+            engine, required, excluded, prefixes, excluded_prefixes
+        )
         .orderBy("doc_id")
         .limit(INTERSECT_CAP)
     )

@@ -147,14 +147,24 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(near).select("doc_id").orderBy("doc_id")
 
 
+# oracle normalization, exact for the engine tokenizer on quote-free text:
+# uppercase ÅÄÖ are SEPARATORS to the tokenizer (WORD_CLASS is A-Za-z0-9_åäö
+# — only the lowercase umlauts are word chars) but lower() would fold them
+# into word chars, so they are spaced out BEFORE lowering; the gap/boundary
+# classes accept tab/newline too (kept by the replace, split on by Spark).
+_sep = "[ \t\n]"
 _w = "[a-z0-9_åäö]+"
-_gap = f"([ ]+{_w}){{0,{PROX_WINDOW - 1}}}[ ]+"
+_gap = f"({_sep}+{_w}){{0,{PROX_WINDOW - 1}}}{_sep}+"
+_NORM_TEXT = (
+    "regexp_replace(lower(regexp_replace(text, '[ÅÄÖ]', ' ', 'g')),"
+    " '[^a-z0-9_åäö\" \t\n]', ' ', 'g')"
+)
 SQL_PROXIMITY_SEARCH = f"""
 SELECT doc_id FROM documents
 WHERE NOT contains(text, '"')
   AND regexp_matches(
-        regexp_replace(lower(text), '[^a-z0-9_åäö" \t\n]', ' ', 'g'),
-        '(^|[ ])({PROX_TERMS[0]}{_gap}{PROX_TERMS[1]}|{PROX_TERMS[1]}{_gap}{PROX_TERMS[0]})([ ]|$)')
+        {_NORM_TEXT},
+        '(^|{_sep})({PROX_TERMS[0]}{_gap}{PROX_TERMS[1]}|{PROX_TERMS[1]}{_gap}{PROX_TERMS[0]})({_sep}|$)')
 ORDER BY doc_id
 """
 

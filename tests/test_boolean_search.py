@@ -21,24 +21,26 @@ def eng(spark, tmp_path_factory):
 
 
 def test_parse(eng):
-    req, exc, pre = parse_boolean_query(
-        "planet -sickle bright* -The", eng.config.stop_words
+    req, exc, pre, xpre = parse_boolean_query(
+        "planet -sickle bright* -The -nak*", eng.config.stop_words
     )
     assert req == ["planet"]
     # default config has no stop words (reference parity), so 'the' stays
     assert exc == ["sickle", "the"]
     assert pre == ["bright"]
+    assert xpre == ["nak"]  # -word* = negated PREFIX, not exact -word
 
 
 def test_parse_stop_words_dropped():
     from search_engine_spark.config import DEMO_STOP_WORDS
 
-    req, exc, pre = parse_boolean_query(
+    req, exc, pre, xpre = parse_boolean_query(
         "planet -The merge* -a x", DEMO_STOP_WORDS
     )
     assert req == ["planet"]  # 'x' is sub-2-char -> dropped
     assert exc == []  # 'the' and 'a' are stop words -> dropped
     assert pre == ["merge"]
+    assert xpre == []
 
 
 def test_and_unchanged(eng):
@@ -59,6 +61,15 @@ def test_prefix(eng):
     assert urls(eng.search_boolean("sol*")) == [JUPITER, SATURN]
     # prefix matching nothing
     assert urls(eng.search_boolean("zzz*")) == []
+
+
+def test_negated_prefix(eng):
+    # bright/brightest appear only in the Jupiter text: -bright* must
+    # exclude Jupiter via the PREFIX (Saturn has neither form)
+    assert urls(eng.search_boolean("planet -bright*")) == [SATURN]
+    # exact -brightest would NOT exclude a doc that only has 'bright',
+    # but -bright* excludes any bright-prefixed term
+    assert urls(eng.search_boolean("planet -zzz*")) == [JUPITER, SATURN]
 
 
 def test_exclusion_only_is_empty(eng):
@@ -82,7 +93,7 @@ def test_warm_parity(spark, tmp_path_factory):
 
 
 def test_plan_pushdown_and_jvm_only(eng):
-    from pyspark.sql import functions as F
+    from search_engine_spark.operators.boolean import boolean_candidates
 
     plan = (
         eng.search_boolean("planet -sickle bright*")
@@ -92,11 +103,15 @@ def test_plan_pushdown_and_jvm_only(eng):
     )
     assert "BatchEvalPython" not in plan
 
-    # the candidate scan's OR-of-(In, StartsWith) predicate reaches parquet
-    scan = eng.postings.select("doc_id", "term").filter(
-        F.col("term").isin(["planet", "sickle"])
-        | F.col("term").startswith("bright")
+    # the SHIPPED candidate stage (the exact plan search_boolean runs):
+    # the OR-of-(In, StartsWith) predicate must reach the parquet scan —
+    # a lower()/cast on the term column would silently kill this
+    cand = boolean_candidates(
+        eng, ["planet"], ["sickle"], ["bright"], ["nak"]
     )
-    scan_plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in scan_plan
-    assert "StringStartsWith" in scan_plan
+    cand_plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in cand_plan
+    assert "PushedFilters" in cand_plan
+    assert "StringStartsWith" in cand_plan
+    # and the In() half of the scan predicate is pushed alongside
+    assert "In(term" in cand_plan or "In(`term`" in cand_plan

@@ -76,6 +76,50 @@ def test_matches_duckdb_oracle(spark, duck, name):
     assert s_norm == d_norm
 
 
+def test_proximity_oracle_tokenizer_edges(spark, tmp_path):
+    """The proximity oracle's regex normalization must agree with the
+    engine tokenizer on the awkward separators: tabs/newlines (kept by
+    the replace, so the gap classes must accept them), uppercase ÅÄÖ
+    (separators to the tokenizer, but lower() would fold them into word
+    chars — spaced out before lowering), punctuation, reversed term
+    order, the window bound, and the quote-guard."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.search_extras import (
+        SQL_PROXIMITY_SEARCH,
+        q_proximity_search,
+    )
+
+    rows = [
+        (0, "sort\tmerge"),          # tab separator: adjacent
+        (1, "sortÅmerge"),           # uppercase Å separates tokens
+        (2, "sort x y merge"),       # |pos diff| = 3: inside window
+        (3, "sort x y z merge"),     # |pos diff| = 4: outside window
+        (4, "merge, sort!"),         # punctuation + reversed order
+        (5, "sort\nonly"),           # second term absent
+        (6, "sortmerge"),            # fused token is neither term
+        (7, 'sort "q" merge'),       # quote char: guarded out on both sides
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spark_ids = [
+        r["doc_id"] for r in q_proximity_search(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle_ids = [r[0] for r in con.execute(SQL_PROXIMITY_SEARCH).fetchall()]
+    con.close()
+    assert spark_ids == oracle_ids == [0, 1, 2, 4]
+
+
 def test_ngram_jaccard_df_cap_kills_zipf_skew(spark, tmp_path):
     """A boilerplate shingle shared by every doc must NOT create O(n^2)
     pairs: the df cap drops it before the self-join, while a genuine

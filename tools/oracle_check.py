@@ -93,6 +93,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd (or misparsed) name must fail loudly — a filter that
+        # matches nothing would print FAILURES: 0 while testing nothing
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        print(f"known: {sorted(qs)}", file=sys.stderr)
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

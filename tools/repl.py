@@ -47,9 +47,16 @@ def main() -> None:
         if not query:
             break
         t0 = time.time()
-        if any(a.startswith("-") or a.endswith("*") for a in query.split()):
-            # extended boolean syntax (operators/boolean.py): filter
-            # surface, candidate (doc_id) order, no scoring
+        # extended boolean syntax (operators/boolean.py): only when the
+        # user wrote a real marker atom (-word / word*), didn't ask for a
+        # scored mode, and isn't using phrase quotes — the boolean filter
+        # is unscored and bag-of-words, so it must never silently eat a
+        # --bm25 request or quoted-adjacency semantics
+        boolean_atoms = any(
+            (a.startswith("-") or a.endswith("*")) and len(a) >= 2
+            for a in query.split()
+        )
+        if boolean_atoms and not (args.bm25 or args.wand) and '"' not in query:
             rows = engine.search_boolean(query, max_count=args.k).collect()
             dt = 1000 * (time.time() - t0)
             for r in rows:
