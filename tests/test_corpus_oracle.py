@@ -176,3 +176,37 @@ def test_ngram_jaccard_df_cap_kills_zipf_skew(spark, tmp_path):
         .count()
     )
     assert n_dropped == 13  # the boilerplate-interior shingles
+
+
+def test_infix_gram_blocking_needs_verify(spark, tmp_path):
+    """The n-gram candidate stage over-matches when the pattern's grams
+    appear non-adjacently ('aba' ⊂ grams of 'abba'); the contains()
+    verify must drop those, and true matches anywhere in the term must
+    survive. Runs the operator with a 3-char pattern so the candidate
+    set needs BOTH grams."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import mining_extras
+
+    rows = [
+        (0, "abax"),    # true match: prefix position
+        (1, "xabay"),   # true match: interior position
+        (2, "abba"),    # FALSE candidate: has 'ab' and 'ba', not 'aba'
+        (3, "abxba"),   # FALSE candidate: grams split across the term
+        (4, "zzz"),     # no grams in common
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    with mock.patch.object(mining_extras, "INFIX", "aba"):
+        got = [
+            (r["term"], r["df"])
+            for r in mining_extras.q_infix_search(spark, str(tmp_path)).collect()
+        ]
+    assert got == [("abax", 1), ("xabay", 1)]
