@@ -210,3 +210,70 @@ def test_infix_gram_blocking_needs_verify(spark, tmp_path):
             for r in mining_extras.q_infix_search(spark, str(tmp_path)).collect()
         ]
     assert got == [("abax", 1), ("xabay", 1)]
+
+
+def test_funnel_strict_ordering_and_cohort_offsets(spark, tmp_path):
+    """funnel_stages must require each stage's first hit to be strictly
+    AFTER the previous stage's first hit (not a type histogram), and
+    cohort_retention must place users in their first-activity week with
+    exact week offsets."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.behavior_extras import (
+        q_cohort_retention,
+        q_funnel_stages,
+    )
+
+    def ev(eid, ts, uid, etype):
+        return (eid, datetime.fromisoformat(ts), uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: fully ordered funnel; cohort = week of Jan 1 (Mon)
+        ev(1, "2024-01-01T10:00:00", 1, "view"),
+        ev(2, "2024-01-02T10:00:00", 1, "click"),
+        ev(3, "2024-01-03T10:00:00", 1, "purchase"),
+        # user 2: purchase BEFORE click -> reaches stage 2 only
+        ev(4, "2024-01-01T10:00:00", 2, "view"),
+        ev(5, "2024-01-05T10:00:00", 2, "click"),
+        ev(6, "2024-01-02T10:00:00", 2, "purchase"),
+        # user 3: click before any view -> reaches stage 1 only
+        # (its only click precedes its first view)
+        ev(7, "2024-01-02T10:00:00", 3, "click"),
+        ev(8, "2024-01-03T10:00:00", 3, "view"),
+        # user 4: never views -> in no stage
+        ev(9, "2024-01-01T10:00:00", 4, "click"),
+        # cohorts: user 5 starts two weeks later, active that week + next
+        ev(10, "2024-01-15T10:00:00", 5, "view"),
+        ev(11, "2024-01-22T10:00:00", 5, "click"),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    docs.write.parquet(str(tmp_path / "events.parquet"))
+
+    funnel = {
+        r["stage"]: r["n_users"]
+        for r in q_funnel_stages(spark, str(tmp_path)).collect()
+    }
+    # stage 1: users 1,2,3,5 have views (user 4 never views)
+    # stage 2: click strictly after first view — users 1,2,5 (user 3's
+    #   only click precedes its first view)
+    # stage 3: purchase strictly after stage-2 hit — user 1 only (user
+    #   2's purchase precedes its qualifying click)
+    assert funnel == {"1_view": 4, "2_click": 3, "3_purchase": 1}
+
+    ret = [
+        (r["cohort_week"], r["week_offset"], r["n_users"])
+        for r in q_cohort_retention(spark, str(tmp_path)).collect()
+    ]
+    assert ret == [
+        # users 1-4: all activity inside the Mon Jan 1 week (Jan 5 too)
+        ("2024-01-01", 0, 4),
+        # user 5: first active the Mon Jan 15 week, returns the next week
+        ("2024-01-15", 0, 1),
+        ("2024-01-15", 1, 1),
+    ]
