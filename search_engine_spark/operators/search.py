@@ -538,6 +538,72 @@ class SearchEngine:
             .orderBy("query_term", "rank")
         )
 
+    # -- more-like-this -------------------------------------------------------
+    def more_like_this(
+        self, doc_id: int, n_terms: int = 5, k: int = 10
+    ) -> DataFrame:
+        """Documents similar to ``doc_id`` (Lucene MLT shape): the seed
+        document's top-``n_terms`` terms by tf·idf become a disjunctive
+        query ranked by the summed idf of shared terms.
+        ``mining_extras.q_more_like_this`` is the corpus-level
+        oracle-checked twin; this rides the persisted index.
+
+        Scale shape mirrors the reference's fetch-after-slice contract:
+        the seed's postings collect to the driver (bounded by ONE
+        document's vocabulary — postings are stop-filtered at build), idf
+        comes from the warm() driver vocab map when present (zero stats
+        job) or one pruned term_stats scan cold, and the candidate pass
+        is a single pushed ``term IN (...)`` postings scan + one
+        aggregation — the same plan family as search()/BM25."""
+        import math
+
+        n_docs = float(self.corpus_stats["n_docs"])
+        seed_rows = (
+            self.postings.filter(F.col("doc_id") == doc_id)
+            .select("term", "tf")
+            .collect()
+        )
+        if not seed_rows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, mlt_score double, n_shared long"
+            )
+        stats_map = getattr(self, "_stats_map", None)
+        if stats_map is not None:
+            df_of = {r["term"]: stats_map[r["term"]] for r in seed_rows}
+        else:
+            doc_terms = sorted({r["term"] for r in seed_rows})
+            df_of = {
+                r["term"]: int(r["df"])
+                for r in self.term_stats()
+                .filter(F.col("term").isin(doc_terms))
+                .select("term", "df")
+                .collect()
+            }
+        scored = sorted(
+            (
+                (r["term"], r["tf"] * math.log(n_docs / df_of[r["term"]]))
+                for r in seed_rows
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        seed = {t: math.log(n_docs / df_of[t]) for t, _ in scored[:n_terms]}
+
+        idf_col = F.lit(0.0)
+        for t, idf in seed.items():
+            idf_col = F.when(F.col("term") == t, F.lit(idf)).otherwise(idf_col)
+        p = self.postings.filter(
+            F.col("term").isin(sorted(seed)) & (F.col("doc_id") != doc_id)
+        )
+        return (
+            p.groupBy("doc_id")
+            .agg(
+                F.round(F.sum(idf_col), 6).alias("mlt_score"),
+                F.count(F.lit(1)).cast("long").alias("n_shared"),
+            )
+            .orderBy(F.desc("mlt_score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     # -- BM25 (scale path; see bm25.py / wand.py) ---------------------------
     def search_bm25(self, text: str, k: int = 10, conjunctive: bool = False,
                     use_wand: bool = False) -> DataFrame:

@@ -47,6 +47,22 @@ def main() -> None:
         if not query:
             break
         t0 = time.time()
+        # :mlt <doc_id> — more-like-this on a result's doc id
+        if query.split()[0] == ":mlt":
+            try:
+                seed_id = int(query.split()[1])
+            except (IndexError, ValueError):
+                print("usage: :mlt <doc_id>")
+                continue
+            rows = engine.more_like_this(seed_id, k=args.k).collect()
+            dt = 1000 * (time.time() - t0)
+            for r in rows:
+                print(
+                    f"  {r['mlt_score']:9.4f}  doc {r['doc_id']}"
+                    f"  ({r['n_shared']} shared terms)"
+                )
+            print(f"-- {len(rows)} similar docs in {dt:.1f} ms")
+            continue
         # extended boolean syntax (operators/boolean.py): only when the
         # user wrote a real marker atom (-word / word*), didn't ask for a
         # scored mode, and isn't using phrase quotes — the boolean filter
