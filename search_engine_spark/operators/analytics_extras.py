@@ -21,11 +21,11 @@ from pyspark.sql import functions as F
 from .corpus_queries import (
     QUERIES,
     _TOKS_SQL,
-    STOP_LIST,
     _band_selects,
     _docs,
     _embeddings,
     _sigs_core,
+    _stop_filtered_terms,
     _stop_in,
     _tokens_df,
     q_dedup_clusters,
@@ -388,11 +388,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus count are one aggregate each; the per-doc ranking window
     partitions by doc_id — bounded groups, no skew. Score is round-6 like
     the BM25 twins so the float compare is bitwise."""
-    toks = _tokens_df(spark, sf_dir)
-    terms = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter((F.length("term") >= 2) & ~F.col("term").isin(STOP_LIST))
-    )
+    terms = _stop_filtered_terms(spark, sf_dir)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))

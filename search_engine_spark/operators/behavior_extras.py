@@ -188,11 +188,12 @@ FROM orders GROUP BY o_custkey ORDER BY custkey
 # --------------------------------------------------------------------------
 
 KMEANS_K = 4
+KMEANS_ITERS = 2
 KMEANS_DIM = 64  # embeddings table dimension (TESTDATA.md)
 _KM_SCALE = 100000000.0  # 1e8: component quantum for exact int64 mean sums
 
 
-def _km_distances(df: DataFrame, centroids: dict[int, list[float]]):
+def _km_distances(centroids: dict[int, list[float]]):
     """Squared-L2 distance columns d{cid} as a sequential left fold over
     the dims (F.aggregate), matching DuckDB's list_reduce fold order so
     the doubles are bit-identical."""
@@ -213,7 +214,7 @@ def _km_assign(df: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     cluster id on exact ties (first-match CASE chain — same ordering as
     the oracle's ``row_number() ORDER BY d, cid``)."""
     cids = sorted(centroids)
-    with_d = df.select("vec_id", "ee", *_km_distances(df, centroids))
+    with_d = df.select("vec_id", "ee", *_km_distances(centroids))
     expr = F.lit(cids[-1])
     for i in range(len(cids) - 2, -1, -1):
         cond = None
@@ -244,9 +245,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()
     }
     centroids = init
-    assigned = None
-    for _ in range(2):
-        assigned = _km_assign(emb, centroids)
+    assigned = _km_assign(emb, centroids)
+    for _ in range(KMEANS_ITERS - 1):
+        # centroid update only BETWEEN assignments: updating after the
+        # final assignment would run a full (and discarded) aggregation
+        # job per invocation
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -263,6 +266,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             for r in sums.collect()  # ≤ k rows: bounded driver state
         }
+        assigned = _km_assign(emb, centroids)
     return (
         assigned.groupBy(F.col("cluster").cast("long").alias("cluster_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))

@@ -675,6 +675,34 @@ _SHINGLES_SQL = (
 )
 
 
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-token pairs as 'w1 w2' strings — the ONE definition of a
+    token bigram (top_bigrams, bigram_logprob); empty for len<2."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+_BIGRAMS_SQL = (
+    f"list_transform(range(1, len({_TOKS_SQL})),"
+    f" i -> ({_TOKS_SQL})[i] || ' ' || ({_TOKS_SQL})[i+1])"
+)
+
+
+def _stop_filtered_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) occurrences under the index build's B4 filter
+    (stop words + 1-char tokens dropped) — the ONE definition shared by
+    tf-idf, more-like-this, and PMI co-occurrence; SQL twins mirror it
+    with ``len(term) >= 2 AND term NOT IN ({_stop_in})``."""
+    toks = _tokens_df(spark, sf_dir)
+    return toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        (F.length("term") >= 2) & ~F.col("term").isin(STOP_LIST)
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens_df(spark, sf_dir).filter(F.size("toks") >= SHINGLE_N)
     sh = toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
@@ -1366,15 +1394,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraic count (map-side combine absorbs Zipf skew), top-k via
     TakeOrderedAndProject."""
     toks = _tokens_df(spark, sf_dir)
-    pairs = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bigram")
-    )
+    pairs = toks.select(F.explode(_bigrams(F.col("toks"))).alias("bigram"))
     return (
         pairs.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1384,10 +1404,8 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TOP_BIGRAMS = f"""
-WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
-pairs AS (
-  SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
-  FROM toks WHERE len(t) >= 2
+WITH pairs AS (
+  SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM documents
 )
 SELECT bigram, count(*) AS freq
 FROM pairs GROUP BY bigram

@@ -33,9 +33,9 @@ from pyspark.sql import functions as F
 
 from .corpus_queries import (
     QUERIES,
-    STOP_LIST,
     _TOKS_SQL,
     _docs,
+    _stop_filtered_terms,
     _stop_in,
     _tokens_df,
 )
@@ -47,15 +47,6 @@ from .corpus_queries import (
 MLT_SEED_DOC = 7
 MLT_TERMS = 5  # query terms drawn from the seed document
 MLT_TOPK = 20
-
-
-def _stop_filtered_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term) occurrences with the index build's B4 filter
-    (stop words + 1-char tokens dropped)."""
-    toks = _tokens_df(spark, sf_dir)
-    return toks.select("doc_id", F.explode("toks").alias("term")).filter(
-        (F.length("term") >= 2) & ~F.col("term").isin(STOP_LIST)
-    )
 
 
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +160,16 @@ def q_infix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
+    if not pattern_grams:
+        # pattern shorter than the gram width: no gram blocking possible
+        # — direct contains over the vocabulary (still vocab-sized work,
+        # never corpus-sized; without this guard the empty isin() would
+        # silently return nothing)
+        return (
+            vocab.filter(F.col("term").contains(INFIX))
+            .select("term", "df")
+            .orderBy("term")
+        )
     idx = F.sequence(F.lit(1), F.length("term") - (INFIX_GRAM_N - 1))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.col("term").substr(i, F.lit(INFIX_GRAM_N)))

@@ -569,7 +569,11 @@ class SearchEngine:
             )
         stats_map = getattr(self, "_stats_map", None)
         if stats_map is not None:
-            df_of = {r["term"]: stats_map[r["term"]] for r in seed_rows}
+            df_of = {
+                t: stats_map[t]
+                for t in (r["term"] for r in seed_rows)
+                if t in stats_map
+            }
         else:
             doc_terms = sorted({r["term"] for r in seed_rows})
             df_of = {
@@ -579,13 +583,22 @@ class SearchEngine:
                 .select("term", "df")
                 .collect()
             }
+        # serve-while-ingest: a segment written before its stats refresh
+        # has postings for terms that term_stats doesn't know yet — skip
+        # those (no idf = unscorable), mirroring BM25's join semantics
+        # instead of crashing
         scored = sorted(
             (
                 (r["term"], r["tf"] * math.log(n_docs / df_of[r["term"]]))
                 for r in seed_rows
+                if r["term"] in df_of
             ),
             key=lambda t: (-t[1], t[0]),
         )
+        if not scored:
+            return self.spark.createDataFrame(
+                [], "doc_id long, mlt_score double, n_shared long"
+            )
         seed = {t: math.log(n_docs / df_of[t]) for t, _ in scored[:n_terms]}
 
         idf_col = F.lit(0.0)

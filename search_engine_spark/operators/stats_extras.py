@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .corpus_queries import QUERIES, _TOKS_SQL, _events, _tokens_df
+from .corpus_queries import (
+    QUERIES,
+    _BIGRAMS_SQL,
+    _TOKS_SQL,
+    _bigrams,
+    _events,
+    _tokens_df,
+)
 
 # --------------------------------------------------------------------------
 # TPC-H Q10 shape: returned-item revenue per customer
@@ -99,22 +106,6 @@ ORDER BY revenue DESC, custkey ASC LIMIT {Q10_TOPK}
 # --------------------------------------------------------------------------
 # bigram LM: per-doc mean Laplace-smoothed bigram log-probability
 # --------------------------------------------------------------------------
-
-
-def _bigrams(toks):
-    """Adjacent-token pairs as 'w1 w2' strings (same construction as
-    top_bigrams)."""
-    return F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-
-
-_BIGRAMS_SQL = (
-    f"list_transform(range(1, len({_TOKS_SQL})),"
-    f" i -> ({_TOKS_SQL})[i] || ' ' || ({_TOKS_SQL})[i+1])"
-)
 
 
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

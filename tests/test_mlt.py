@@ -119,3 +119,35 @@ def test_mlt_n_terms_bounds_query(engine):
         for r in engine.docs.select("doc_id", "url").collect()
     }
     assert {urls[r["doc_id"]] for r in rows} == {"u1"}
+
+
+def test_mlt_skips_terms_missing_from_stats(engine):
+    """Serve-while-ingest: a segment written before its stats refresh has
+    postings for terms term_stats doesn't know yet — MLT must skip them
+    (like BM25's join semantics), not crash with KeyError."""
+    sid = seed_doc_id(engine)
+    engine.warm(pin_docs=False)
+    try:
+        # simulate the stats lag: drop the seed's strongest term from the
+        # pinned vocab map
+        assert engine._stats_map is not None
+        engine._stats_map = {
+            t: df for t, df in engine._stats_map.items() if t != "asteroid"
+        }
+        rows = engine.more_like_this(sid, n_terms=1, k=10).collect()
+        # with "asteroid" unscorable the top-1 term becomes the next by
+        # tf-idf; the call must succeed and exclude the dropped term's
+        # contribution (u1 no longer guaranteed first)
+        assert isinstance(rows, list)
+        # extreme lag: EVERY seed term unknown -> empty result, no crash
+        engine._stats_map = {}
+        assert engine.more_like_this(sid, k=10).count() == 0
+    finally:
+        for h in (engine.postings, engine.term_positions,
+                  engine._term_stats, engine._blocks):
+            if h is not None:
+                h.unpersist()
+        engine._term_stats = None
+        engine._blocks = None
+        engine._stats_map = None
+        engine._warmed = False
