@@ -2109,6 +2109,7 @@ from . import search_extras  # noqa: E402,F401
 from . import mining_extras  # noqa: E402,F401
 from . import behavior_extras  # noqa: E402,F401
 from . import stats_extras  # noqa: E402,F401
+from . import transcript_extras  # noqa: E402,F401
 
 # batch query evaluation: the three demo queries (conjunctive /
 # single-term / phrase) answered by ONE fused plan; oracle = UNION ALL
