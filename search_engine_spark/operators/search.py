@@ -295,16 +295,34 @@ class SearchEngine:
         return int(self.corpus_stats["n_docs"]) - self._n_tombstones
 
     # -- Q1-Q15 ------------------------------------------------------------
-    def search(self, text: str, max_count: int = 100) -> DataFrame:
+    def search(
+        self, text: str, max_count: int = 100, where=None
+    ) -> DataFrame:
         """Reference-parity free-text search. Returns an ordered DataFrame
-        (doc_id, score, title, introduction, url), best first."""
+        (doc_id, score, title, introduction, url), best first.
+
+        ``where`` (beyond the reference): an optional Column predicate
+        over the docs table's metadata columns (``title``/``url``) that
+        restricts results — e.g. ``F.col("title").startswith(
+        "assistant:")`` searches only assistant turns of a transcript
+        index (corpus_from_transcripts maps role:tool into the title).
+        The predicate gates candidates BEFORE the reference's 100-doc
+        intersection cap, so a filtered query still fills ``max_count``
+        from the filtered set instead of post-filtering a capped page;
+        with ``where=None`` the plan is byte-identical to the parity
+        path."""
         words, quotes = tokenize(text)
         lookup = [
             w for w in words if not is_stop_word(w, self.config.stop_words)
         ]
         if not lookup:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        cand = self.candidates(words, quotes, lookup)
+        allowed = (
+            self.docs.filter(where).select("doc_id")
+            if where is not None
+            else None
+        )
+        cand = self.candidates(words, quotes, lookup, allowed=allowed)
 
         if self._warmed and getattr(self, "_docs_proj", None) is not None:
             # fused SINGLE-JOB path: the <=100 candidates merge-join the
@@ -363,10 +381,15 @@ class SearchEngine:
         words: Sequence[str],
         quotes: Sequence[int],
         lookup: Sequence[str],
+        allowed: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Candidate generation = the reference's k-way sorted intersection
         (engine.ts:391-431), capped at INTERSECT_CAP in ascending doc_id
-        (= rank) order."""
+        (= rank) order.
+
+        ``allowed``: optional (doc_id) frame of metadata-eligible docs
+        (the ``where`` filter of :meth:`search`); semi-joined BEFORE the
+        cap so the cap counts filtered candidates."""
         terms = sorted({w.lower() for w in lookup})
         # postings.term is lowercased at build time (B3) — filtering the
         # raw column keeps the IN-list pushed down into the parquet scan
@@ -393,6 +416,8 @@ class SearchEngine:
                 .filter(F.col("n_terms") == len(terms))
                 .select("doc_id")
             )
+        if allowed is not None:
+            cand = cand.join(allowed, "doc_id", "left_semi")
         return cand.orderBy("doc_id").limit(INTERSECT_CAP)
 
     def _fused_phrase_candidates(
@@ -537,6 +562,56 @@ class SearchEngine:
             )
             .orderBy("query_term", "rank")
         )
+
+    def _known_terms(self, terms: Sequence[str]) -> set:
+        """Subset of ``terms`` present in the index vocabulary. Free on a
+        warmed engine (driver-pinned stats map); one tiny pushed-IN scan
+        of term_stats (|query| rows) otherwise."""
+        if self._warmed and getattr(self, "_stats_map", None) is not None:
+            return {t for t in terms if t in self._stats_map}
+        rows = (
+            self.term_stats()
+            .select("term")
+            .filter(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        return {r["term"] for r in rows}
+
+    def search_fuzzy(
+        self, text: str, max_count: int = 100, max_dist: int = 2
+    ) -> tuple[str, DataFrame]:
+        """Typo-tolerant search (beyond the reference): query terms
+        missing from the index vocabulary are replaced by their best
+        spell suggestion (:meth:`suggest` — SymSpell deletion
+        neighborhood + levenshtein verify), then the corrected query runs
+        through the parity :meth:`search` path. Returns
+        ``(corrected_text, results)`` so callers can surface the
+        "showing results for …" banner.
+
+        Known-term queries pass through untouched (zero extra jobs on a
+        warmed engine — vocabulary membership is a driver dict lookup).
+        Phrase queries are NEVER auto-corrected: rewriting a word inside
+        quotes silently changes adjacency semantics. Unknown terms with
+        no suggestion within ``max_dist`` stay as typed, so a conjunctive
+        query honestly returns no hits instead of guessing."""
+        words, quotes = tokenize(text)
+        lookup = [
+            w for w in words if not is_stop_word(w, self.config.stop_words)
+        ]
+        terms = sorted({w.lower() for w in lookup})
+        if quotes or not terms:
+            return text, self.search(text, max_count=max_count)
+        unknown = sorted(set(terms) - self._known_terms(terms))
+        if not unknown:
+            return text, self.search(text, max_count=max_count)
+        sugg = self.suggest(
+            " ".join(unknown), max_dist=max_dist, k=1
+        ).collect()
+        fix = {
+            r["query_term"]: r["suggestion"] for r in sugg if r["dist"] > 0
+        }
+        corrected = " ".join(fix.get(w.lower(), w) for w in words)
+        return corrected, self.search(corrected, max_count=max_count)
 
     # -- more-like-this -------------------------------------------------------
     def more_like_this(
