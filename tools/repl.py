@@ -63,6 +63,40 @@ def main() -> None:
                 )
             print(f"-- {len(rows)} similar docs in {dt:.1f} ms")
             continue
+        # :role <role> <query> — restrict to one transcript role
+        # (corpus_from_transcripts maps role:tool into the title)
+        if query.split()[0] == ":role":
+            parts = query.split(maxsplit=2)
+            if len(parts) < 3:
+                print("usage: :role <user|assistant|tool> <query>")
+                continue
+            from pyspark.sql import functions as F
+
+            rows = engine.search(
+                parts[2],
+                max_count=args.k,
+                where=F.col("title").startswith(parts[1] + ":"),
+            ).collect()
+            dt = 1000 * (time.time() - t0)
+            for r in rows:
+                print(f"* {r['title']}  [{r['url']}]")
+            print(f"-- {len(rows)} hits in {dt:.1f} ms (role={parts[1]})")
+            continue
+        # :fuzzy <query> — auto-correct out-of-vocabulary terms first
+        if query.split()[0] == ":fuzzy":
+            text = query.split(maxsplit=1)[1] if " " in query else ""
+            if not text:
+                print("usage: :fuzzy <query>")
+                continue
+            corrected, res = engine.search_fuzzy(text, max_count=args.k)
+            rows = res.collect()
+            dt = 1000 * (time.time() - t0)
+            if corrected != text:
+                print(f"   showing results for: {corrected}")
+            for r in rows:
+                print(f"* {r['title']}  [{r['url']}]")
+            print(f"-- {len(rows)} hits in {dt:.1f} ms (fuzzy)")
+            continue
         # extended boolean syntax (operators/boolean.py): only when the
         # user wrote a real marker atom (-word / word*), didn't ask for a
         # scored mode, and isn't using phrase quotes — the boolean filter
