@@ -203,10 +203,75 @@ FROM z WHERE sd > 0 ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# per-document token-distribution entropy
+# --------------------------------------------------------------------------
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution,
+    H = −Σ p·ln p — the repetitiveness signal orthogonal to the n-gram
+    repetition metrics (a doc of one word repeated has H = 0). Per-term
+    contributions are quantized to int64 micro-units before the per-doc
+    SUM; doc length arrives via a window sum over the (doc_id, term)
+    counts, so the whole operator is one doc_id-keyed shuffle."""
+    from pyspark.sql import Window
+
+    doc_terms = (
+        _tokens_df(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    m = F.round(-(p * F.log(p)) * 1000000.0).cast("long")
+    per_term = doc_terms.withColumn("n", n).select(
+        "doc_id", F.col("n").cast("long").alias("n"), m.alias("m")
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_toks"),
+            F.sum("m").cast("long").alias("sum_m"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("sum_m") / 1000000.0, 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH doc_terms AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+per_term AS (
+  SELECT doc_id,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+         CAST(round(-((CAST(c AS DOUBLE)
+                       / CAST(CAST(sum(c) OVER (PARTITION BY doc_id)
+                              AS BIGINT) AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE)
+                          / CAST(CAST(sum(c) OVER (PARTITION BY doc_id)
+                                 AS BIGINT) AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS m
+  FROM doc_terms
+)
+SELECT doc_id, first(n) AS n_toks,
+       round(CAST(sum(m) AS BIGINT) / 1000000.0, 6) AS entropy
+FROM per_term GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 EXTRA_QUERIES = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "zscore_by_source": (q_zscore_by_source, SQL_ZSCORE_BY_SOURCE),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
 }
 
 QUERIES.update(EXTRA_QUERIES)
