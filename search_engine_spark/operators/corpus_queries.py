@@ -2113,6 +2113,7 @@ from . import transcript_extras  # noqa: E402,F401
 from . import retrieval_extras  # noqa: E402,F401
 from . import mlstats_extras  # noqa: E402,F401
 from . import events_extras  # noqa: E402,F401
+from . import tpch_extras  # noqa: E402,F401
 
 # batch query evaluation: the three demo queries (conjunctive /
 # single-term / phrase) answered by ONE fused plan; oracle = UNION ALL
