@@ -150,3 +150,57 @@ def test_warm_docs_cache_partitioning_follows_table(spark, tmp_path_factory):
     cached_parts = eng._docs_proj.rdd.getNumPartitions()
     assert cached_parts >= scan_parts
     assert cached_parts >= eng._serve_partitions()
+
+
+def test_q5_snowflake_dims_broadcast(spark):
+    """local_supplier_volume (TPC-H Q5 shape): every dimension join is a
+    broadcast (the only shuffle join is lineitem x orders) and the order
+    date range reaches the orders parquet scan."""
+    from search_engine_spark.operators.tpch_extras import (
+        q_local_supplier_volume,
+    )
+
+    plan = plan_of(q_local_supplier_volume(spark, SF_DIR))
+    assert_no_row_python(plan)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q6_scan_aggregate_pushdown(spark):
+    """revenue_forecast (Q6 shape): pure scan-aggregate — all three
+    predicates push into the lineitem scan; NO join, NO wide shuffle
+    beyond the single global-sum exchange."""
+    from search_engine_spark.operators.tpch_extras import q_revenue_forecast
+
+    plan = plan_of(q_revenue_forecast(spark, SF_DIR))
+    assert_no_row_python(plan)
+    # the PushedFilters list is truncated in toString(), so assert on the
+    # untruncated IsNotNull entries + the full Filter operator line
+    assert "IsNotNull(l_shipdate)" in plan
+    assert "< 24.0)" in plan  # quantity cap reached the scan filter
+    assert "Join" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """late_shipment_priority (Q4 shape): the EXISTS evaluates as one
+    LeftSemi join keyed on the order key — no distinct pass after it."""
+    from search_engine_spark.operators.tpch_extras import (
+        q_late_shipment_priority,
+    )
+
+    plan = plan_of(q_late_shipment_priority(spark, SF_DIR))
+    assert_no_row_python(plan)
+    assert "LeftSemi" in plan
+
+
+def test_filtered_search_lang_pushdown(spark):
+    """filtered_search: the metadata predicate must reach the documents
+    parquet scan BEFORE tokenization."""
+    from search_engine_spark.operators.retrieval_extras import (
+        q_filtered_search,
+    )
+
+    plan = plan_of(q_filtered_search(spark, SF_DIR))
+    assert_no_row_python(plan)
+    assert "EqualTo(lang,en)" in plan
