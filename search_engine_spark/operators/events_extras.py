@@ -103,8 +103,15 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("k").cast("double")
+    # greatest(var, 0): DuckDB sqrt raises on a one-ulp-negative variance
+    # (FP cancellation when all counts are equal and huge) where Spark
+    # yields NaN — clamp identically on both sides
     sd = F.sqrt(
-        F.col("sxx").cast("double") / F.col("k").cast("double") - mean * mean
+        F.greatest(
+            F.col("sxx").cast("double") / F.col("k").cast("double")
+            - mean * mean,
+            F.lit(0.0),
+        )
     )
     z = F.when(
         sd > 0,
@@ -136,15 +143,20 @@ m AS (
 ),
 z AS (
   SELECT d.day_idx, d.n_events,
-         CASE WHEN sqrt(CAST(m.sxx AS DOUBLE) / CAST(m.k AS DOUBLE)
+         CASE WHEN sqrt(greatest(
+                        CAST(m.sxx AS DOUBLE) / CAST(m.k AS DOUBLE)
                         - (CAST(m.sx AS DOUBLE) / CAST(m.k AS DOUBLE))
-                          * (CAST(m.sx AS DOUBLE) / CAST(m.k AS DOUBLE))) > 0
+                          * (CAST(m.sx AS DOUBLE) / CAST(m.k AS DOUBLE)),
+                        0.0)) > 0
               THEN round((CAST(d.n_events AS DOUBLE)
                           - CAST(m.sx AS DOUBLE) / CAST(m.k AS DOUBLE))
-                         / sqrt(CAST(m.sxx AS DOUBLE) / CAST(m.k AS DOUBLE)
-                                - (CAST(m.sx AS DOUBLE) / CAST(m.k AS DOUBLE))
+                         / sqrt(greatest(
+                                CAST(m.sxx AS DOUBLE) / CAST(m.k AS DOUBLE)
+                                - (CAST(m.sx AS DOUBLE)
+                                   / CAST(m.k AS DOUBLE))
                                   * (CAST(m.sx AS DOUBLE)
-                                     / CAST(m.k AS DOUBLE))), 6)
+                                     / CAST(m.k AS DOUBLE)),
+                                0.0)), 6)
               ELSE 0.0 END AS z
   FROM days d CROSS JOIN m
 )

@@ -1,6 +1,6 @@
 """ML-dataset statistics extras, each with an exact DuckDB twin.
 
-Three operators a training-data pipeline runs between dedup and mixing:
+Four operators a training-data pipeline runs between dedup and mixing:
 
 - ``label_centroids`` — per-label mean embedding (first 4 dims + size):
   the class-prototype table used for centroid-distance outlier pruning
@@ -15,6 +15,9 @@ Three operators a training-data pipeline runs between dedup and mixing:
   single identical IEEE mean/variance/sqrt chain on both engines;
   degenerate sources (zero variance) are excluded rather than emitting
   NaN/Inf.
+- ``token_entropy`` — per-document Shannon entropy of the token
+  distribution (micro-unit-quantized): the repetitiveness signal
+  orthogonal to the n-gram repetition metrics.
 
 Scale notes: label_centroids is one partial-aggregated shuffle on the
 tiny label key; ngram_novelty's only big shuffle is the first-sighting
@@ -164,7 +167,13 @@ def q_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("n").cast("double")
-    var = F.col("sxx").cast("double") / F.col("n").cast("double") - mean * mean
+    # greatest(var, 0): FP cancellation can land one ulp below zero when
+    # all x are equal and huge; Spark sqrt would give NaN but DuckDB
+    # sqrt RAISES on negatives — clamp identically on both sides
+    var = F.greatest(
+        F.col("sxx").cast("double") / F.col("n").cast("double") - mean * mean,
+        F.lit(0.0),
+    )
     j = docs.join(F.broadcast(mom), "source").withColumn("sd", F.sqrt(var))
     return (
         j.filter(F.col("sd") > 0)
@@ -193,9 +202,9 @@ z AS (
   SELECT d.doc_id, d.source,
          CAST(d.x AS DOUBLE) AS x,
          CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean,
-         sqrt(CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
+         sqrt(greatest(CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
               - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
-                * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))) AS sd
+                * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)), 0.0)) AS sd
   FROM d JOIN m USING (source)
 )
 SELECT doc_id, source, round((x - mean) / sd, 6) AS z

@@ -317,11 +317,19 @@ class SearchEngine:
         ]
         if not lookup:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        allowed = (
-            self.docs.filter(where).select("doc_id")
-            if where is not None
-            else None
-        )
+        allowed = None
+        if where is not None:
+            # warmed engines evaluate the metadata predicate against the
+            # pinned docs projection (title/url/doc_id are all in it) —
+            # a cold parquet scan per filtered query would be exactly
+            # the I/O warm() exists to remove
+            src = (
+                self._docs_proj
+                if self._warmed and getattr(self, "_docs_proj", None)
+                is not None
+                else self.docs
+            )
+            allowed = src.filter(where).select("doc_id")
         cand = self.candidates(words, quotes, lookup, allowed=allowed)
 
         if self._warmed and getattr(self, "_docs_proj", None) is not None:
@@ -610,6 +618,10 @@ class SearchEngine:
         fix = {
             r["query_term"]: r["suggestion"] for r in sugg if r["dist"] > 0
         }
+        if not fix:
+            # nothing correctable: return the ORIGINAL text (a rejoin of
+            # tokenized words would falsely read as an auto-correction)
+            return text, self.search(text, max_count=max_count)
         corrected = " ".join(fix.get(w.lower(), w) for w in words)
         return corrected, self.search(corrected, max_count=max_count)
 

@@ -33,6 +33,7 @@ from .corpus_queries import (
     _events,
     _tokens_df,
 )
+from .tpch_extras import _REV_UNITS_SQL
 
 # --------------------------------------------------------------------------
 # TPC-H Q10 shape: returned-item revenue per customer
@@ -52,6 +53,8 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact int64 cents × basis-points — the float product sum is
     order-dependent, the integer sum is not; one division back at the
     end."""
+    from .tpch_extras import _rev_units
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
         (F.col("o_orderdate") >= F.lit(Q10_DATE_LO))
         & (F.col("o_orderdate") < F.lit(Q10_DATE_HI))
@@ -62,9 +65,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_name"
     )
-    rev_u = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100.0, 0).cast("long")
-    )
+    rev_u = _rev_units()  # the ONE exact-money convention (tpch_extras)
     per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
@@ -88,9 +89,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RETURNED_REVENUE = f"""
 SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,
-       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
-                * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
-            AS BIGINT) / 10000.0 AS revenue,
+       CAST(sum({_REV_UNITS_SQL}) AS BIGINT) / 10000.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

@@ -73,15 +73,6 @@ def test_where_no_match_is_empty(eng):
     assert res.count() == 0
 
 
-def test_where_warm_parity(eng):
-    cold = _assistant(eng).collect()
-    eng.warm()
-    try:
-        assert _assistant(eng).collect() == cold
-    finally:
-        pass  # session-scoped spark: leave the engine warmed for speed
-
-
 def test_fuzzy_corrects_unknown_term(eng):
     corrected, res = eng.search_fuzzy("mergw window")
     assert corrected == "merge window"
@@ -101,6 +92,20 @@ def test_fuzzy_phrase_never_corrected(eng):
 
 
 def test_fuzzy_unsuggestable_term_stays(eng):
-    corrected, res = eng.search_fuzzy("zzzzzzqx window")
-    assert "zzzzzzqx" in corrected
+    corrected, res = eng.search_fuzzy("zzzzzzqx, window")
+    # no correction applied -> the ORIGINAL text comes back verbatim
+    # (not a tokenized rejoin), so UIs don't show a false banner
+    assert corrected == "zzzzzzqx, window"
     assert res.count() == 0  # honest empty conjunction, not a guess
+
+
+# keep LAST in the file: warming the module-scoped engine would flip the
+# fuzzy tests above off the cold _known_terms/term_stats branch
+def test_where_and_fuzzy_warm_parity(eng):
+    cold_filtered = _assistant(eng).collect()
+    cold_fuzzy = urls(eng.search_fuzzy("mergw window")[1])
+    eng.warm()
+    assert _assistant(eng).collect() == cold_filtered
+    corrected, res = eng.search_fuzzy("mergw window")
+    assert corrected == "merge window"
+    assert urls(res) == cold_fuzzy

@@ -84,7 +84,8 @@ def main() -> None:
             continue
         # :fuzzy <query> — auto-correct out-of-vocabulary terms first
         if query.split()[0] == ":fuzzy":
-            text = query.split(maxsplit=1)[1] if " " in query else ""
+            parts = query.split(maxsplit=1)
+            text = parts[1] if len(parts) > 1 else ""
             if not text:
                 print("usage: :fuzzy <query>")
                 continue
