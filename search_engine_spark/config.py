@@ -44,3 +44,11 @@ class EngineConfig:
     # turns) at equal build time and query latency — at 100 TB that
     # halves storage AND every scan's I/O for free (BENCH/NOTES.md).
     parquet_codec: str = "zstd"
+    # cold-path doc fetch for search(): "pushdown" = collect the <=100
+    # candidate ids and push an IN-filter into the docs parquet scan
+    # (row-group pruning — the only sane shape on an unbounded table);
+    # "fused" = keep the candidates inside ONE plan and broadcast-join
+    # docs (no driver roundtrip, no second plan compile — wins while an
+    # unpruned docs scan is cheap); "auto" (default) = fused below
+    # search.COLD_FUSED_MAX_DOCS docs, pushdown above.
+    cold_fetch: str = "auto"

@@ -1657,23 +1657,67 @@ FROM reach GROUP BY u ORDER BY doc_id
 # IVF-style ANN: deterministic coarse centroids, nprobe lists, exact rerank
 # --------------------------------------------------------------------------
 
-IVF_NLIST = 8    # coarse centroids = vectors vec_id 1..8 (deterministic)
+IVF_NLIST = 8    # coarse centroids: k-means-trained from seeds vec_id 1..8
 IVF_NPROBE = 2   # probe the query's 2 nearest lists
+
+
+def _ivf_trained_centroids(spark: SparkSession, sf_dir: str) -> dict:
+    """IVF coarse centroids TRAINED with the same bit-exact Lloyd recipe
+    as q_kmeans_clusters (behavior_extras): seeds = vectors vec_id
+    1..IVF_NLIST, one argmin-L2 assignment, one mean update with
+    int64-quantized (×1e8) component sums — so the trained means are an
+    exact, summation-order-independent function of the input that the
+    DuckDB twin reproduces bit-for-bit. Untrained first-K-vector
+    centroids partition the space no better than random; one Lloyd
+    update already moves each centroid to its region's mean. Driver
+    state is k rows (bounded); at scale both training jobs are one
+    narrow map + one k-row partial-aggregated shuffle."""
+    from .behavior_extras import _KM_SCALE, KMEANS_DIM, _km_assign
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ee")
+    )
+    seeds = {
+        int(r["vec_id"]): list(r["ee"])
+        for r in emb.filter(
+            F.col("vec_id").between(1, IVF_NLIST)
+        ).collect()
+    }
+    sums = _km_assign(emb, seeds).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.round(F.col("ee")[i] * _KM_SCALE, 0).cast("long")
+            ).alias(f"s{i}")
+            for i in range(KMEANS_DIM)
+        ],
+    )
+    return {
+        int(r["cluster"]): [
+            float(r[f"s{i}"]) / (float(r["n"]) * _KM_SCALE)
+            for i in range(KMEANS_DIM)
+        ]
+        for r in sums.collect()  # ≤ IVF_NLIST rows: bounded driver state
+    }
 
 
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbours for vec_id=0: assign
     every vector to its max-cosine coarse centroid (broadcast, 8 rows —
     map-side), probe the query's IVF_NPROBE nearest lists, exact-rerank
-    within them. At scale the centroid id is the partition key: the scan
-    is pruned to nprobe/nlist of the table and no all-pairs shuffle
-    exists (assignment aggregates map-side via partial max)."""
+    within them. Centroids are k-means-trained (_ivf_trained_centroids)
+    and enter the plan as broadcast literals. At scale the centroid id
+    is the partition key: the scan is pruned to nprobe/nlist of the
+    table and no all-pairs shuffle exists (assignment aggregates
+    map-side via partial max)."""
     emb = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    trained = _ivf_trained_centroids(spark, sf_dir)
     cent = F.broadcast(
-        emb.filter(F.col("vec_id").between(1, IVF_NLIST)).select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("c")
+        spark.createDataFrame(
+            [(cid, trained[cid]) for cid in sorted(trained)],
+            "cid BIGINT, c array<double>",
         )
     )
     sims = emb.crossJoin(cent).select(
@@ -1715,11 +1759,39 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The cent CTE below mirrors _ivf_trained_centroids: one argmin-L2 Lloyd
+# assignment from seeds vec_id 1..IVF_NLIST, then int64-quantized (×1e8)
+# component-mean update — the same unrolled-SQL shape as
+# behavior_extras._km_sql_assign/_km_sql_update (dim = 64 per TESTDATA.md;
+# inlined here because behavior_extras imports this module).
 SQL_ANN_IVF_COSINE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id BETWEEN 1 AND {IVF_NLIST}
+), a1 AS (
+  SELECT vec_id, ee, cid AS cluster FROM (
+    SELECT e.vec_id, e.e AS ee, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(range(1, 65),
+                 i -> (e.e[i] - c.ce[i]) * (e.e[i] - c.ce[i])),
+               (a, b) -> a + b) ASC, c.cid ASC
+           ) AS rn
+    FROM v e, seeds c
+  ) WHERE rn = 1
 ), cent AS (
-  SELECT vec_id AS cid, e AS c FROM v WHERE vec_id BETWEEN 1 AND {IVF_NLIST}
+  SELECT cluster AS cid,
+         list(CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+              ORDER BY i) AS c
+  FROM (
+    SELECT cluster, i,
+           sum(CAST(round(ee[CAST(i AS INT)] * 100000000.0) AS BIGINT)) AS su,
+           count(*) AS n
+    FROM a1, range(1, 65) r(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
 ), sims AS (
   SELECT v.vec_id, cent.cid,
          list_dot_product(v.e, cent.c)

@@ -251,16 +251,26 @@ FROM documents GROUP BY lang ORDER BY lang
 
 VOCAB_BUCKET = 100  # docs per corpus-position bucket
 
+# buckets per prefix-sum superbucket: like packing_extras.PACK_BUCKET this
+# is a PURE FUNCTION of the key, so the two prefix-sum levels can never
+# disagree about membership. Sized so the superbucket frame stays tiny at
+# scale: at 10^11 docs there are 10^9 buckets -> ~7.6k superbuckets.
+VOCAB_SUPERBUCKET = 131072
+
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New distinct 3-grams per bucket of 100 documents (in doc_id
     order) plus the running vocabulary size — the Heaps-law saturation
     curve. Plan: narrow gram expansion, one groupBy(gram) shuffle for
     min(doc_id) (first sighting), one tiny groupBy(bucket) over
-    vocabulary-sized data, then a window cumsum over a handful of bucket
-    rows (safe single partition: #buckets = #docs/100). At 100 TB the
-    only large shuffle is the first-sighting min — partial-aggregated,
-    key space = gram vocabulary."""
+    vocabulary-sized data, then a TWO-LEVEL prefix sum with no
+    unpartitioned window anywhere (the r02 version funnelled all
+    n_docs/100 bucket rows through ONE partition): superbucket offsets
+    come from a triangular broadcast join over the ~n_docs/13M-row
+    superbucket frame, and the within-superbucket running sum is a
+    bucket-partitioned window (bounded at VOCAB_SUPERBUCKET rows,
+    parallel). At 100 TB the only large shuffle is the first-sighting
+    min — partial-aggregated, key space = gram vocabulary."""
     grams = (
         _tokens_df(spark, sf_dir)
         .withColumn("g3", F.expr(_G3_EXPR))
@@ -274,16 +284,39 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket")
         )
         .agg(F.count(F.lit(1)).alias("n_new"))
+        .withColumn(
+            "sb", F.expr(f"CAST(bucket DIV {VOCAB_SUPERBUCKET} AS BIGINT)")
+        )
     )
-    w = (
-        Window.orderBy("bucket")
+    per_sb = per_bucket.groupBy("sb").agg(F.sum("n_new").alias("sbn"))
+    # offset of each superbucket = sum of all STRICTLY EARLIER superbucket
+    # totals — a triangular join over the tiny superbucket frame instead
+    # of a global-order window, so no WindowExec single-partition funnel
+    sb_off = (
+        per_sb.alias("a")
+        .join(
+            F.broadcast(per_sb.select(
+                F.col("sb").alias("psb"), F.col("sbn").alias("pn")
+            )),
+            F.col("psb") < F.col("a.sb"),
+            "left",
+        )
+        .groupBy("a.sb")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).cast("long").alias("sb_off"))
+    )
+    w_in = (
+        Window.partitionBy("sb")
+        .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        per_bucket.select(
+        per_bucket.join(F.broadcast(sb_off), "sb")
+        .select(
             "bucket",
             "n_new",
-            F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+            (F.col("sb_off") + F.sum("n_new").over(w_in))
+            .cast("long")
+            .alias("cum_vocab"),
         )
         .orderBy("bucket")
     )

@@ -53,6 +53,12 @@ RESULT_SCHEMA = T.StructType(
 
 INTERSECT_CAP = 100  # engine.ts:134
 
+# auto cold_fetch threshold: below this many docs an unpruned broadcast-
+# join docs scan is cheaper than the pushdown path's extra driver
+# roundtrip + plan compile; above it, row-group pruning wins (and at
+# 10^12 docs is the only viable shape)
+COLD_FUSED_MAX_DOCS = 10_000_000
+
 # vocabulary cap for pinning (term -> df) on the driver at warm() time:
 # above this, per-query BM25 stats fall back to the broadcast join. 2M
 # entries is ~100s of MB of Python dict — fine for a serving driver; a
@@ -344,16 +350,35 @@ class SearchEngine:
                 cand.select("doc_id"), "doc_id"
             ).select("doc_id", "title", "url", "words")
         else:
-            # cold path mirrors the reference's fetch-after-slice
-            # (engine.ts:141-150): collect <=100 ids so the doc fetch is an
-            # IN-filter PUSHED INTO the parquet scan — on a 100 TB docs
-            # table this prunes to a handful of row groups
-            ids = [r["doc_id"] for r in cand.collect()]
-            if not ids:
-                return self.spark.createDataFrame([], RESULT_SCHEMA)
-            pages = self.docs.filter(F.col("doc_id").isin(ids)).select(
-                "doc_id", "title", "url", "words"
-            )
+            mode = self.config.cold_fetch
+            if mode == "auto":
+                mode = (
+                    "fused"
+                    if int(self.corpus_stats["n_docs"]) <= COLD_FUSED_MAX_DOCS
+                    else "pushdown"
+                )
+            if mode == "fused":
+                # single compiled plan: the <=100-row candidate frame
+                # broadcast-joins the docs scan — no driver roundtrip, no
+                # second plan compile. The docs scan is UNPRUNED (a
+                # broadcast build can't reach parquet row-group stats), so
+                # auto mode only picks this while the table is small
+                # enough that scanning it costs less than the saved
+                # roundtrip; at 100 TB auto degrades to pushdown.
+                pages = self.docs.join(
+                    F.broadcast(cand.select("doc_id")), "doc_id"
+                ).select("doc_id", "title", "url", "words")
+            else:
+                # pushdown mirrors the reference's fetch-after-slice
+                # (engine.ts:141-150): collect <=100 ids so the doc fetch
+                # is an IN-filter PUSHED INTO the parquet scan — on a
+                # 100 TB docs table this prunes to a handful of row groups
+                ids = [r["doc_id"] for r in cand.collect()]
+                if not ids:
+                    return self.spark.createDataFrame([], RESULT_SCHEMA)
+                pages = self.docs.filter(F.col("doc_id").isin(ids)).select(
+                    "doc_id", "title", "url", "words"
+                )
 
         # <=INTERSECT_CAP candidate rows, but they inherit the docs table's
         # partitioning (dozens of partitions) — without this shuffle the
@@ -688,9 +713,15 @@ class SearchEngine:
             )
         seed = {t: math.log(n_docs / df_of[t]) for t, _ in scored[:n_terms]}
 
-        idf_col = F.lit(0.0)
-        for t, idf in seed.items():
-            idf_col = F.when(F.col("term") == t, F.lit(idf)).otherwise(idf_col)
+        # map LITERAL, not a nested WHEN chain: plan depth stays constant
+        # in n_terms (NOTES.md decision #6 — the WHEN shape costs
+        # O(n_terms) codegen depth). Every row of p passes the isin
+        # filter, so the lookup can't miss; coalesce guards the contract
+        # anyway.
+        idf_map = F.create_map(
+            *[F.lit(x) for t in sorted(seed) for x in (t, float(seed[t]))]
+        )
+        idf_col = F.coalesce(idf_map[F.col("term")], F.lit(0.0))
         p = self.postings.filter(
             F.col("term").isin(sorted(seed)) & (F.col("doc_id") != doc_id)
         )

@@ -194,6 +194,35 @@ def test_q4_exists_is_semi_join(spark):
     assert "LeftSemi" in plan
 
 
+def test_vocab_growth_no_unpartitioned_window(spark):
+    """vocab_growth: the running vocabulary sum is a TWO-LEVEL prefix sum
+    — every Window node in the plan carries a partition spec (the r02
+    global Window.orderBy funnelled n_docs/100 rows through one
+    partition), and the superbucket offset side is a broadcast join."""
+    import re
+
+    from search_engine_spark.operators.governance_extras import (
+        q_vocab_growth,
+    )
+
+    df = q_vocab_growth(spark, SF_DIR)
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [
+        ln for ln in physical.splitlines() if re.search(r"\bWindow\b", ln)
+    ]
+    assert win_lines, physical  # the within-superbucket cumsum exists
+    for ln in win_lines:
+        # partitioned window prints `Window [exprs], [part], [order]` —
+        # three top-level bracket groups; the unpartitioned funnel shape
+        # prints only `Window [exprs], [order]`
+        assert ln.count("], [") >= 2, ln
+    assert "BroadcastNestedLoopJoin" in physical or (
+        "BroadcastHashJoin" in physical
+    ), physical
+
+
 def test_filtered_search_lang_pushdown(spark):
     """filtered_search: the metadata predicate must reach the documents
     parquet scan BEFORE tokenization."""
