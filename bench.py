@@ -178,6 +178,14 @@ def run(master: str | None = None, sf_dir: str | None = None,
             "bm25_qps": round(batch_n / bmsec, 1),
         }
 
+    # WAND pruning evidence: pruned-block fraction per θ round for the
+    # headline disjunctive query — round 0 is the seed θ, later rounds
+    # are the iterative tightening (operators/wand.py), which must prune
+    # MORE at identical results (equality is pytest-gated in test_wand)
+    from search_engine_spark.operators.wand import wand_prune_stats
+
+    wand_stats = wand_prune_stats(engine, "filter join window", k=10)
+
     # two-cluster-size scaling evidence, measured separately by
     # tools/scaling_bench.py (1 vs 4 executor JVMs via spark-submit
     # --py-files, interleaved best-of reps) and recorded in BENCH.md
@@ -248,6 +256,7 @@ def run(master: str | None = None, sf_dir: str | None = None,
             "replicate": replicate,
             "segments": segments,
             "batch_serving": batch_stats,
+            "wand_pruning": wand_stats,
             "scaling_n_vs_4n": scaling,
         },
     }

@@ -1216,13 +1216,31 @@ ORDER BY user_id, session_idx
 """
 
 
-def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+# approx_percentile accuracy for the scale path: rank error <= 1/accuracy
+# of the group size (Greenwald-Khanna sketch bound) — at 1e4, the approx
+# p50 of an n-row group sits between the exact p49.99 and p50.01
+APPROX_PCT_ACCURACY = 10000
+
+
+def q_value_percentiles(
+    spark: SparkSession, sf_dir: str, approx: bool = False,
+    accuracy: int = APPROX_PCT_ACCURACY,
+) -> DataFrame:
     """Exact p50/p90/p99 of value per event_type (linear interpolation —
     Spark `percentile` and DuckDB `quantile_cont` share the definition).
-    At 100 TB swap for approx_percentile; the exact form is used here so
-    the oracle comparison is bitwise."""
+    The exact form is the registered oracle-checked default (bitwise
+    comparison); ``approx=True`` is the 100 TB path — a mergeable
+    Greenwald-Khanna sketch (`percentile_approx`) whose partial
+    aggregates combine map-side, with rank error <= n/accuracy
+    (tolerance-tested against the exact path in
+    tests/test_approx_quantiles.py, timed in tools/quantile_bench.py)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    ps = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    pct = (
+        F.percentile_approx("value", ps, F.lit(accuracy))
+        if approx
+        else F.percentile("value", ps)
+    )
     return (
         ev.groupBy("event_type")
         .agg(

@@ -189,19 +189,33 @@ GROUP BY doc_id ORDER BY doc_id
 IQR_K = 1.5
 
 
-def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_iqr_outliers(
+    spark: SparkSession, sf_dir: str, approx: bool = False,
+    accuracy: int = None,
+) -> DataFrame:
     """Tukey-fence outlier detection per event_type: values outside
-    [p25 − 1.5·IQR, p75 + 1.5·IQR]. Quantiles are exact (same mechanism
-    as value_percentiles — interpolating percentile, identical between
-    engines); the fences are the same IEEE ops on those identical
-    doubles. Two grouped passes over events (quantiles, then a
-    broadcast-joined filter-count) — at scale swap the first for
-    approx_percentile, noted like value_percentiles."""
+    [p25 − 1.5·IQR, p75 + 1.5·IQR]. Quantiles are exact by default (same
+    mechanism as value_percentiles — interpolating percentile, identical
+    between engines); the fences are the same IEEE ops on those
+    identical doubles. Two grouped passes over events (quantiles, then a
+    broadcast-joined filter-count). ``approx=True`` is the 100 TB path:
+    the quantile pass becomes a mergeable percentile_approx sketch with
+    rank error <= n/accuracy (fence drift is tolerance-tested in
+    tests/test_approx_quantiles.py)."""
+    from .corpus_queries import APPROX_PCT_ACCURACY
+
+    acc = accuracy or APPROX_PCT_ACCURACY
     ev = _events(spark, sf_dir)
-    q = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.25)).alias("p25"),
-        F.percentile("value", F.lit(0.75)).alias("p75"),
-    )
+    if approx:
+        q = ev.groupBy("event_type").agg(
+            F.percentile_approx("value", F.lit(0.25), F.lit(acc)).alias("p25"),
+            F.percentile_approx("value", F.lit(0.75), F.lit(acc)).alias("p75"),
+        )
+    else:
+        q = ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.25)).alias("p25"),
+            F.percentile("value", F.lit(0.75)).alias("p75"),
+        )
     fences = q.select(
         "event_type",
         (F.col("p25") - F.lit(IQR_K) * (F.col("p75") - F.col("p25"))).alias(

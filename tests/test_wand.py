@@ -96,3 +96,23 @@ def test_wand_driver_entry_prunes_blocks(spark):
     # dense head terms on a tiny corpus still leave most docs competitive;
     # require at least ~20% of blocks pruned so the bound is doing work
     assert diag["blocks_survived"] <= 0.8 * diag["blocks_total"], diag
+
+
+def test_wand_theta_rounds_equal_results_more_pruning(corpus_engine):
+    """Iterative θ tightening: results identical across round counts, and
+    the tightened θ never prunes FEWER blocks than the seed θ."""
+    from search_engine_spark.operators.wand import (
+        wand_prune_stats,
+        wand_topk,
+    )
+
+    q = QUERIES[0]
+    r1 = rows(wand_topk(corpus_engine, q, k=10, theta_rounds=1))
+    r3 = rows(wand_topk(corpus_engine, q, k=10, theta_rounds=3))
+    assert r1 == r3 == rows(corpus_engine.search_bm25(q, k=10))
+
+    stats = wand_prune_stats(corpus_engine, q, k=10, theta_rounds=3)
+    fracs = [r["pruned_fraction"] for r in stats["rounds"]]
+    thetas = [r["theta"] for r in stats["rounds"]]
+    assert fracs == sorted(fracs), stats      # pruning only improves
+    assert thetas == sorted(thetas), stats    # θ non-decreasing

@@ -2,7 +2,14 @@
 entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/oracle_check.py [--strict] [sf_dir] [name ...]
+Usage: python tools/oracle_check.py [--strict] [--json OUT] [sf_dir] [name ...]
+
+``--json OUT`` additionally writes one record per checked query to OUT in
+the driver's CORRECTNESS_r{N}.json schema ({name: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}), so a full
+``--strict --json`` sweep is a machine-readable all-operator correctness
+artifact (the driver's own sweep caps at ~50 rows). Oracle-less entries
+get ``{"rows_only": true, "spark_rows": N}``.
 
 ``--strict`` skips the float-tolerance normalization and compares a
 hash of the EXACT values at the pandas layer (Spark ``toPandas()`` vs
@@ -83,6 +90,12 @@ def main():
     argv = sys.argv[1:]
     strict = "--strict" in argv
     argv = [a for a in argv if a != "--strict"]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    records: dict[str, dict] = {}
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark(master="local[8]", shuffle_partitions=8)
@@ -110,6 +123,7 @@ def main():
             if strict:
                 if name not in oracles:
                     n = sdf.count()
+                    records[name] = {"rows_only": True, "spark_rows": n}
                     print(f"{name:28s} rows-only: {n} rows")
                     continue
                 s_pdf = sdf.toPandas()
@@ -118,6 +132,14 @@ def main():
                 ok_rows = len(s_pdf) == len(d_pdf)
                 sh, dh = strict_hash(s_pdf), strict_hash(d_pdf)
                 ok = ok_cols and ok_rows and sh == dh
+                records[name] = {
+                    "rows_match": ok_rows,
+                    "schema_match": ok_cols,
+                    "hash_match": sh == dh,
+                    "spark_rows": len(s_pdf),
+                    "oracle_rows": len(d_pdf),
+                    "err": None,
+                }
                 if not ok:
                     failures += 1
                 print(
@@ -143,6 +165,9 @@ def main():
                 continue
             s_rows = [r.asDict() for r in sdf.collect()]
             if name not in oracles:
+                records[name] = {
+                    "rows_only": True, "spark_rows": len(s_rows),
+                }
                 print(f"{name:28s} rows-only: {len(s_rows)} rows")
                 continue
             cur = con.execute(oracles[name])
@@ -157,6 +182,14 @@ def main():
             ok_rows = len(s_norm) == len(d_norm)
             ok_vals = s_norm == d_norm
             status = "OK " if (ok_cols and ok_rows and ok_vals) else "FAIL"
+            records[name] = {
+                "rows_match": ok_rows,
+                "schema_match": ok_cols,
+                "hash_match": ok_vals,  # tolerant-mode value equality
+                "spark_rows": len(s_norm),
+                "oracle_rows": len(d_norm),
+                "err": None,
+            }
             if status == "FAIL":
                 failures += 1
             print(
@@ -171,7 +204,20 @@ def main():
                 print("   duck-only :", diff_d)
         except Exception as e:  # noqa: BLE001
             failures += 1
+            records[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
             print(f"{name:28s} ERROR {type(e).__name__}: {e}")
+    if json_out:
+        import json
+
+        Path(json_out).write_text(json.dumps(records, indent=2) + "\n")
+        print(f"wrote {len(records)} records to {json_out}")
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
