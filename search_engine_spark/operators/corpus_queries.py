@@ -2204,6 +2204,8 @@ from . import retrieval_extras  # noqa: E402,F401
 from . import mlstats_extras  # noqa: E402,F401
 from . import events_extras  # noqa: E402,F401
 from . import tpch_extras  # noqa: E402,F401
+from . import relational_extras  # noqa: E402,F401
+from . import retrieval2_extras  # noqa: E402,F401
 
 # batch query evaluation: the three demo queries (conjunctive /
 # single-term / phrase) answered by ONE fused plan; oracle = UNION ALL
