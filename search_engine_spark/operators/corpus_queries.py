@@ -2206,6 +2206,8 @@ from . import events_extras  # noqa: E402,F401
 from . import tpch_extras  # noqa: E402,F401
 from . import relational_extras  # noqa: E402,F401
 from . import retrieval2_extras  # noqa: E402,F401
+from . import transcript2_extras  # noqa: E402,F401
+from . import dedup_extras  # noqa: E402,F401
 
 # batch query evaluation: the three demo queries (conjunctive /
 # single-term / phrase) answered by ONE fused plan; oracle = UNION ALL

@@ -59,13 +59,35 @@ def test_wand_plan_jvm_side(engine):
 
 
 def test_reference_search_plan_arrow_only(engine):
+    """Cold search at tiny SF auto-picks cold_fetch="fused": the <=100-row
+    candidate frame broadcast-joins the docs scan inside ONE compiled plan
+    (no collect roundtrip)."""
     df = engine.search("window merge", max_count=10)
     plan = plan_of(df)
     assert_no_row_python(plan)
     # scoring + snippets ride Arrow batches
     assert "ArrowEvalPython" in plan
-    # candidate doc_ids are pushed down to the docs scan
-    assert "In(doc_id" in plan
+    # fused mode: candidates reach docs via a broadcast join, not a collect
+    assert "BroadcastHashJoin" in plan
+
+
+def test_reference_search_pushdown_mode(engine):
+    """cold_fetch="pushdown" (the 100 TB auto choice) collects the <=100
+    candidate ids so the doc fetch is an IN-filter pushed into the docs
+    parquet scan — prunes to a handful of row groups at scale."""
+    import dataclasses
+
+    prev = engine.config
+    engine.config = dataclasses.replace(prev, cold_fetch="pushdown")
+    try:
+        df = engine.search("window merge", max_count=10)
+        plan = plan_of(df)
+        assert_no_row_python(plan)
+        assert "ArrowEvalPython" in plan
+        # candidate doc_ids are pushed down to the docs scan
+        assert "In(doc_id" in plan
+    finally:
+        engine.config = prev
 
 
 def test_topk_is_take_ordered(engine):
