@@ -100,11 +100,16 @@ def run(master: str | None = None, sf_dir: str | None = None,
 
     engine = SearchEngine(spark, index_dir, config=cfg)
     t_warm = time.time()
+    # BENCH_PIN_DOCS=0 exercises the 100 TB warm shape: stats/vocab maps
+    # pinned but the docs table NOT cached — queries fetch pages through
+    # pruned parquet scans, which is the only viable mode when the docs
+    # table exceeds cluster memory
+    pin_docs = os.environ.get("BENCH_PIN_DOCS", "1") == "1"
     if os.environ.get("BENCH_WARM", "1") == "1":
         # hot-index serving mode: index pinned in executor memory (like the
         # reference's resident in-memory index, memory-storage.ts) and AQE
         # replanning disabled for the interactive query phase
-        engine.warm().serve_mode()
+        engine.warm(pin_docs=pin_docs).serve_mode()
     warm_sec = time.time() - t_warm
     # warm time counts toward the headline total — the query latencies
     # below depend on it, so excluding it would move cost out of the metric
@@ -255,6 +260,7 @@ def run(master: str | None = None, sf_dir: str | None = None,
             "latency": lat_ms,
             "replicate": replicate,
             "segments": segments,
+            "pin_docs": pin_docs,
             "batch_serving": batch_stats,
             "wand_pruning": wand_stats,
             "scaling_n_vs_4n": scaling,

@@ -255,3 +255,47 @@ def test_filtered_search_lang_pushdown(spark):
     plan = plan_of(q_filtered_search(spark, SF_DIR))
     assert_no_row_python(plan)
     assert "EqualTo(lang,en)" in plan
+
+
+def test_q21_single_fact_scan(spark):
+    """sole_late_supplier (Q21 shape): the EXISTS + NOT-EXISTS double
+    self-join is reformulated as ONE per-order aggregate — the lineitem
+    fact must be scanned exactly once (the canonical formulation scans
+    it three times and shuffles each copy)."""
+    from search_engine_spark.operators.tpch2_extras import (
+        q_sole_late_supplier,
+    )
+
+    df = q_sole_late_supplier(spark, SF_DIR)
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("lineitem.parquet") == 1, physical
+
+
+def test_q15_argmax_scalar_is_broadcast(spark):
+    """top_revenue_supplier (Q15 shape): the 1-row max aggregate joins
+    back by broadcast, and the quarter's date range reaches the lineitem
+    scan."""
+    from search_engine_spark.operators.tpch2_extras import (
+        q_top_revenue_supplier,
+    )
+
+    plan = plan_of(q_top_revenue_supplier(spark, SF_DIR))
+    assert_no_row_python(plan)
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q16_denylist_is_broadcast_anti_join(spark):
+    """supplier_count_by_part (Q16 shape): the negative-balance supplier
+    denylist subtracts via a broadcast LeftAnti join (never a shuffle),
+    and the brand/size filters reach the part scan."""
+    from search_engine_spark.operators.tpch2_extras import (
+        q_supplier_count_by_part,
+    )
+
+    plan = plan_of(q_supplier_count_by_part(spark, SF_DIR))
+    assert_no_row_python(plan)
+    assert "LeftAnti, BuildRight" in plan
+    assert "Not(EqualTo(p_brand" in plan
