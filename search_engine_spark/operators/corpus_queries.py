@@ -2209,6 +2209,7 @@ from . import retrieval2_extras  # noqa: E402,F401
 from . import transcript2_extras  # noqa: E402,F401
 from . import dedup_extras  # noqa: E402,F401
 from . import tpch2_extras  # noqa: E402,F401
+from . import graph_extras  # noqa: E402,F401
 
 # batch query evaluation: the three demo queries (conjunctive /
 # single-term / phrase) answered by ONE fused plan; oracle = UNION ALL
