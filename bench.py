@@ -259,13 +259,24 @@ def run(master: str | None = None, sf_dir: str | None = None,
         }
         shutil.rmtree(sdir, ignore_errors=True)
 
-    # WAND pruning evidence: pruned-block fraction per θ round for the
-    # headline disjunctive query — round 0 is the seed θ, later rounds
-    # are the iterative tightening (operators/wand.py), which must prune
-    # MORE at identical results (equality is pytest-gated in test_wand)
+    # WAND pruning evidence: pruned-block fraction per θ round (round 0 =
+    # seed θ, later rounds = iterative tightening) for three query
+    # shapes, each with the range-aware (true Block-Max) bound next to
+    # the global bound (operators/wand.py; equality to exhaustive BM25
+    # is pytest-gated in test_wand). The synthetic corpus is
+    # deliberately worst-case for pruning — a ~50-term vocabulary where
+    # every doc scores near-max for every head term — so the
+    # all-head-terms shape honestly prunes ~0 while the asymmetric and
+    # single-term shapes show the bounds doing real work.
     from search_engine_spark.operators.wand import wand_prune_stats
 
-    wand_stats = wand_prune_stats(engine, "filter join window", k=10)
+    ts_rows = engine.term_stats().orderBy("df", ascending=False).collect()
+    w_common, w_rare = ts_rows[0]["term"], ts_rows[-1]["term"]
+    wand_stats = {
+        "head_terms": wand_prune_stats(engine, "filter join window", k=10),
+        "asymmetric": wand_prune_stats(engine, f"{w_common} {w_rare}", k=10),
+        "single_term": wand_prune_stats(engine, w_common, k=10),
+    }
 
     # two-cluster-size scaling evidence, measured separately by
     # tools/scaling_bench.py (1 vs 4 executor JVMs via spark-submit

@@ -207,11 +207,81 @@ def _prune_expr(present, df_map, term_max, n, k1, theta):
     return expr
 
 
+# doc-id grid for the range-aware bound: per-(term, bucket) maxima stay
+# ≤ |query terms| × WAND_RANGE_GRID rows REGARDLESS of corpus size, so
+# both intermediate tables below broadcast at any scale
+WAND_RANGE_GRID = 4096
+
+
+def _range_refine(blocks, survivors, present, df_map, n, k1, theta):
+    """Range-aware (true Block-Max WAND) refinement of the global-bound
+    survivor set: instead of charging every other query term its GLOBAL
+    maximum, charge it the maximum over blocks that actually overlap the
+    candidate block's doc-id range — evaluated on a fixed ≤4096-bucket
+    grid so the per-bucket maxima tables are size-bounded constants.
+
+    Correctness (matches the aligned-range proof in
+    corpus_queries.q_wand_topk, here for unaligned per-term blocks): a
+    doc d with score(d) ≥ θ sits, for its argmax-contribution term t*,
+    in block B with ub_own(B) ≥ c_{t*}(d); d's bucket g is covered by B,
+    and for every other term t' holding d, bucketmax[t', g] ≥ ub of the
+    t'-block containing d ≥ c_{t'}(d). Hence
+    ub_own(B) + Σ_{t'≠t*} bucketmax[t', g] ≥ score(d) ≥ θ and B survives
+    ``best = max_g (ub_own + sum_other(g)) ≥ θ``. The per-bucket maxima
+    MUST be computed over ALL blocks of the query terms (not just global
+    survivors): a globally-pruned t'-block can still hold d's t'
+    posting. Composing with the global filter stays lossless because
+    both filters independently keep B.
+
+    Cost: one explode (coverage factor ≈ 1-2 for range-laid head-term
+    blocks, ≤ grid for a rare term spanning the space), two broadcast
+    joins, one groupBy over block metadata — no posting is decoded.
+    """
+    span = max(1, int(math.ceil(n / WAND_RANGE_GRID)))
+    ub_col = (
+        F.col("block_max_partial") * _idf_expr(df_map, n) * F.lit(k1 + 1.0)
+    )
+    buckets = F.explode(
+        F.sequence(
+            F.floor(F.col("first_doc") / span),
+            F.floor(F.col("max_doc") / span),
+        )
+    ).alias("g")
+    cov_all = blocks.select("term", ub_col.alias("ub"), buckets)
+    bmax = cov_all.groupBy("term", "g").agg(F.max("ub").alias("mx"))
+    tot = bmax.groupBy("g").agg(F.sum("mx").alias("tot"))
+    keep = (
+        survivors.select("term", "first_doc", "max_doc", ub_col.alias("ub"),
+                         buckets)
+        # own-term bucket row always exists (this block covers g), so the
+        # inner join drops nothing; sum over OTHER terms = tot - own max
+        .join(F.broadcast(bmax), ["term", "g"])
+        .join(F.broadcast(tot), "g")
+        .groupBy("term", "first_doc", "max_doc")
+        .agg(F.max(F.col("ub") + F.col("tot") - F.col("mx")).alias("best"))
+        .filter(F.col("best") >= F.lit(float(theta)))
+        .select("term", "first_doc", "max_doc")
+    )
+    # (term, first_doc, max_doc) is a block key: segments hold disjoint
+    # dense doc-id ranges (docids.py), so no two blocks of a term share a
+    # range. Plain join (AQE picks the strategy; keep is block metadata)
+    return survivors.join(keep, ["term", "first_doc", "max_doc"])
+
+
 def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
-              conjunctive: bool = False, theta_rounds: int = 2) -> DataFrame:
+              conjunctive: bool = False, theta_rounds: int = 2,
+              range_aware: bool = True) -> DataFrame:
     """Block-max-pruned BM25 top-k. Returns (doc_id, score, n_terms)
     ordered (score desc, doc_id asc) — rank- and score-identical to
     ``bm25.bm25_topk`` (tested).
+
+    ``range_aware`` (default on) applies the true Block-Max WAND bound
+    (``_range_refine``) after the free global-bound literal filter: on
+    multi-term queries the global bound alone rarely prunes (every other
+    term is charged its corpus-wide maximum — with ≥3 comparable terms
+    the Σ-other slack exceeds any realistic θ), while the range-aware
+    bound charges only blocks that overlap the candidate block's doc-id
+    range. Single-term queries skip it (the two bounds coincide).
 
     ``theta_rounds`` > 1 iteratively tightens θ before the final prune
     (see ``_theta_schedule``): each extra round costs one bounded
@@ -240,6 +310,10 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
     survivors = blocks.filter(
         _prune_expr(present, df_map, term_max, n, k1, theta)
     )
+    if range_aware and len(present) > 1 and theta > 0.0:
+        survivors = _range_refine(
+            blocks, survivors, present, df_map, n, k1, theta
+        )
     cand = survivors.select(
         F.explode(decode("first_doc", "doc_deltas")).alias("doc_id")
     ).distinct()
@@ -251,10 +325,13 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
 
 def wand_prune_stats(engine, text: str, k: int = 10, seed_blocks: int = 2,
                      conjunctive: bool = False,
-                     theta_rounds: int = 2) -> dict:
+                     theta_rounds: int = 2,
+                     range_aware: bool = True) -> dict:
     """Bench/diagnostic helper: block counts and pruned fraction per θ
     round for one query — evidence that iterative tightening prunes
-    MORE blocks at equal (tested-identical) results."""
+    MORE blocks at equal (tested-identical) results, and that the
+    range-aware bound prunes where the global bound cannot
+    (``global_pruned_fraction`` rides along for comparison)."""
     prep = _prepare(engine, text)
     if prep is None:
         return {"n_blocks": 0, "rounds": []}
@@ -270,15 +347,26 @@ def wand_prune_stats(engine, text: str, k: int = 10, seed_blocks: int = 2,
     total = blocks.count()
     rounds = []
     for i, th in enumerate(thetas):
-        surv = blocks.filter(
+        glob = blocks.filter(
             _prune_expr(present, df_map, term_max, n, k1, th)
-        ).count()
+        )
+        surv_g = glob.count()
+        if range_aware and len(present) > 1 and th > 0.0:
+            surv = _range_refine(
+                blocks, glob, present, df_map, n, k1, th
+            ).count()
+        else:
+            surv = surv_g
         rounds.append(
             {
                 "round": i,
                 "theta": round(th, 6),
                 "surviving_blocks": surv,
                 "pruned_fraction": round(1.0 - surv / max(1, total), 4),
+                "global_surviving_blocks": surv_g,
+                "global_pruned_fraction": round(
+                    1.0 - surv_g / max(1, total), 4
+                ),
             }
         )
     return {"n_blocks": total, "terms": len(present), "rounds": rounds}

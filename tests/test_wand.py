@@ -116,3 +116,49 @@ def test_wand_theta_rounds_equal_results_more_pruning(corpus_engine):
     thetas = [r["theta"] for r in stats["rounds"]]
     assert fracs == sorted(fracs), stats      # pruning only improves
     assert thetas == sorted(thetas), stats    # θ non-decreasing
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_range_aware_lossless_and_no_looser(corpus_engine, query):
+    """The range-aware (true Block-Max) bound must stay rank- and
+    score-identical to both the global-bound path and exhaustive BM25,
+    and can only prune MORE blocks than the global bound, never fewer
+    (the per-bucket other-term maxima are ≤ the corpus-wide maxima the
+    global bound charges)."""
+    from search_engine_spark.operators.wand import (
+        wand_prune_stats,
+        wand_topk,
+    )
+
+    exact = rows(corpus_engine.search_bm25(query, k=10))
+    assert rows(wand_topk(corpus_engine, query, k=10, range_aware=True)) \
+        == rows(wand_topk(corpus_engine, query, k=10, range_aware=False)) \
+        == exact
+
+    stats = wand_prune_stats(corpus_engine, query, k=10)
+    for r in stats["rounds"]:
+        assert r["surviving_blocks"] <= r["global_surviving_blocks"], stats
+        assert r["pruned_fraction"] >= r["global_pruned_fraction"], stats
+
+
+def test_wand_range_aware_prunes_where_global_cannot(corpus_engine):
+    """On an asymmetric query (rare term + head terms) the global bound
+    charges the head terms' corpus-wide maxima everywhere and prunes
+    nothing, while the range-aware bound prunes real blocks; results
+    stay identical (asserted above via the QUERIES parametrization and
+    here for this query)."""
+    from search_engine_spark.operators.wand import (
+        wand_prune_stats,
+        wand_topk,
+    )
+
+    ts = corpus_engine.term_stats().orderBy("df", ascending=False).collect()
+    rare, common = ts[-1]["term"], ts[0]["term"]
+    q = f"{common} {rare}"
+    assert rows(wand_topk(corpus_engine, q, k=10)) == rows(
+        corpus_engine.search_bm25(q, k=10)
+    )
+    stats = wand_prune_stats(corpus_engine, q, k=10)
+    last = stats["rounds"][-1]
+    assert last["pruned_fraction"] > last["global_pruned_fraction"], stats
+    assert last["pruned_fraction"] > 0.0, stats
