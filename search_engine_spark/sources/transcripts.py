@@ -93,6 +93,7 @@ def synthesize_transcripts(
     turns_per_conv: int = 8,
     words_per_turn: int = 40,
     replicate: int = 1,
+    tail_vocab: int = 0,
 ) -> DataFrame:
     """Deterministically expand ``documents.parquet`` rows into multi-turn
     transcripts. Pure column arithmetic (no randomness, no driver loops):
@@ -103,6 +104,16 @@ def synthesize_transcripts(
       equality trivially checkable against the source)
     - role cycles user/assistant/tool; tool set on tool turns
     - ts = fixed epoch + doc_id minutes (deterministic)
+    - ``tail_vocab`` (default 0 = off, output byte-identical to before
+      the knob existed): when > 0, append one term ``tail_<k>`` per turn
+      with ``k = floor(tail_vocab / (1 + doc_id % tail_vocab))`` — term
+      ``tail_k`` then lands in ~``tail_vocab/(k(k+1))`` of the turns, a
+      deterministic heavy-tailed (Zipf-like, exponent ~2) document
+      frequency distribution. The base documents vocabulary is ~50
+      uniformly-hot terms, which is worst-case for block-max pruning
+      (every block is near-max for every term); the tail gives the
+      realistic df skew that WAND-style bounds exploit, without any
+      external data or randomness.
     """
     docs = spark.read.parquet(documents_path)
     if replicate > 1:
@@ -121,6 +132,13 @@ def synthesize_transcripts(
     turn_text = F.concat_ws(
         " ", F.slice(words, 1, words_per_turn)
     )
+    if tail_vocab > 0:
+        tail_rank = F.floor(
+            F.lit(tail_vocab) / (F.lit(1) + F.col("doc_id") % tail_vocab)
+        )
+        turn_text = F.concat_ws(
+            " ", turn_text, F.concat(F.lit("tail_"), tail_rank)
+        )
     role = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
         (F.col("doc_id") % 3 + 1).cast("int"),
