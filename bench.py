@@ -146,10 +146,15 @@ def run(master: str | None = None, sf_dir: str | None = None,
         # trivial — distinct queries measure the real fused-plan work
         import itertools
 
+        # secondary sort on term: equal-df ties would otherwise make the
+        # picked query set nondeterministic across runs (ADVICE r03),
+        # weakening round-over-round comparability
+        from pyspark.sql import functions as F
+
         vocab = [
             r["term"]
             for r in engine.term_stats()
-            .orderBy("df", ascending=False)
+            .orderBy(F.desc("df"), F.asc("term"))
             .limit(512)
             .collect()
         ]
@@ -222,7 +227,8 @@ def run(master: str | None = None, sf_dir: str | None = None,
     # sustained QPS including the stream's own micro-batch overhead,
     # i.e. the end-to-end serving-tier number
     stream_stats = None
-    n_stream = int(os.environ.get("BENCH_STREAM", "64"))
+    n_stream = int(os.environ.get("BENCH_STREAM", "256"))
+    stream_file_q = int(os.environ.get("BENCH_STREAM_FILE_Q", "64"))
     if n_stream and batch_n:
         import json as _json
 
@@ -231,13 +237,19 @@ def run(master: str | None = None, sf_dir: str | None = None,
         sdir = tempfile.mkdtemp(prefix="bench_srv_")
         qdir = os.path.join(sdir, "queries")
         os.makedirs(qdir)
+        # 64-query files (vs r03's 32): per-micro-batch fixed costs
+        # (foreachBatch setup, checkpoint commit, parquet write) amortize
+        # over the file size — the same lever the fused batch path pulls
         stexts = [f"{a} {b}" for a, b in pairs[:n_stream]][:n_stream]
-        half = max(1, len(stexts) // 2)
-        for fi, chunk in enumerate((stexts[:half], stexts[half:])):
+        chunks = [
+            stexts[i:i + stream_file_q]
+            for i in range(0, len(stexts), stream_file_q)
+        ]
+        for fi, chunk in enumerate(chunks):
             with open(os.path.join(qdir, f"drop{fi}.json"), "w") as f:
                 for qi, text in enumerate(chunk):
                     f.write(_json.dumps(
-                        {"query_id": fi * half + qi, "text": text}
+                        {"query_id": fi * stream_file_q + qi, "text": text}
                     ) + "\n")
         smetrics: list[dict] = []
         ts = time.time()
@@ -249,12 +261,22 @@ def run(master: str | None = None, sf_dir: str | None = None,
         ssec = time.time() - ts
         served = sum(m["n_queries"] for m in smetrics)
         timings["stream_serve"] = round(ssec, 3)
+        # steady-state excludes batch 0 (44% slower in r03's per-batch
+        # data: first-batch Arrow worker spin-up + stream start) — the
+        # sustained number a long-running serving tier would see
+        tail = smetrics[1:] if len(smetrics) > 1 else smetrics
+        tail_q = sum(m["n_queries"] for m in tail)
+        tail_sec = sum(m["wall_sec"] for m in tail)
         stream_stats = {
             "n_queries": served,
             "micro_batches": len(smetrics),
             "wall_sec": round(ssec, 3),
             "sustained_qps": round(served / ssec, 1),
             "ms_per_query_end_to_end": round(1000 * ssec / max(1, served), 2),
+            "steady_state_qps": round(tail_q / max(tail_sec, 1e-9), 1),
+            "steady_state_ms_per_query": round(
+                1000 * tail_sec / max(1, tail_q), 2
+            ),
             "per_batch": smetrics,
         }
         shutil.rmtree(sdir, ignore_errors=True)
@@ -270,7 +292,11 @@ def run(master: str | None = None, sf_dir: str | None = None,
     # single-term shapes show the bounds doing real work.
     from search_engine_spark.operators.wand import wand_prune_stats
 
-    ts_rows = engine.term_stats().orderBy("df", ascending=False).collect()
+    from pyspark.sql import functions as _F
+
+    ts_rows = (
+        engine.term_stats().orderBy(_F.desc("df"), _F.asc("term")).collect()
+    )
     w_common, w_rare = ts_rows[0]["term"], ts_rows[-1]["term"]
     wand_stats = {
         "head_terms": wand_prune_stats(engine, "filter join window", k=10),
@@ -359,5 +385,90 @@ def run(master: str | None = None, sf_dir: str | None = None,
     return out
 
 
+def compact_summary(out: dict, detail_file: str | None) -> dict:
+    """Driver-visible summary: the driver's artifact keeps only the TAIL
+    of stdout (BENCH_r03.json captured 2000 chars of a multi-KB line and
+    recorded ``parsed: null``), so the LAST stdout line must be a small,
+    self-contained JSON — headline metric, per-query p50/p95, build
+    best-of + all reps, batch/stream amortized ms/query, scaling
+    efficiency + provenance commit. Bulky diagnostics (wand pruning
+    rounds, per-batch arrays) live in the sidecar ``detail_file``."""
+    d = out["detail"]
+    lat = d.get("latency") or {}
+    summary: dict = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "detail": {
+            "n_turns": d["n_turns"],
+            "build_sec_best": out["queries"]["index_build"],
+            "build_all_runs_sec": d["build_all_runs_sec"],
+            "build_turns_per_sec": d["build_turns_per_sec"],
+            "p95_ms": {q: v["p95_ms"] for q, v in lat.items()},
+            "detail_file": detail_file,
+        },
+    }
+    b = d.get("batch_serving")
+    if b:
+        summary["detail"]["batch_ms_per_q"] = {
+            f"search_{b['n_queries']}": b["search_amortized_ms_per_query"],
+            f"bm25_{b['n_queries']}": b["bm25_amortized_ms_per_query"],
+        }
+        lp = b.get("large_point")
+        if lp:
+            summary["detail"]["batch_ms_per_q"][
+                f"search_{lp['n_queries']}"
+            ] = lp["search_amortized_ms_per_query"]
+            summary["detail"]["batch_ms_per_q"][
+                f"bm25_{lp['n_queries']}"
+            ] = lp["bm25_amortized_ms_per_query"]
+    s = d.get("stream_serving")
+    if s:
+        summary["detail"]["stream"] = {
+            "qps": s["sustained_qps"],
+            "steady_qps": s.get("steady_state_qps"),
+            "ms_per_q": s["ms_per_query_end_to_end"],
+            "steady_ms_per_q": s.get("steady_state_ms_per_query"),
+            "n_queries": s["n_queries"],
+        }
+    sc = d.get("scaling_n_vs_4n")
+    if sc:
+        summary["detail"]["scaling_n_vs_4n"] = {
+            "efficiency": sc.get("efficiency"),
+            "speedup": sc.get("speedup"),
+            "levels": sc.get("levels"),
+            "stale_vs_head": sc.get("stale_vs_head"),
+            "commit": (sc.get("commit") or "")[:12],
+        }
+    try:
+        import subprocess
+
+        summary["detail"]["commit"] = subprocess.run(
+            ["git", "-C", str(Path(__file__).resolve().parent),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    # hard size guard: the driver tail-captures ~2000 chars — degrade by
+    # dropping the least essential blocks rather than ever exceeding it
+    for drop in ("p95_ms", "batch_ms_per_q", "stream"):
+        if len(json.dumps(summary, separators=(",", ":"))) <= 1500:
+            break
+        summary["detail"].pop(drop, None)
+    return summary
+
+
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    result = run()
+    sidecar = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        sidecar.write_text(json.dumps(result, indent=1))
+        detail_file = str(sidecar)
+    except OSError:
+        detail_file = None
+    # ONE compact line, guaranteed last on stdout
+    print(json.dumps(compact_summary(result, detail_file),
+                     separators=(",", ":")))
