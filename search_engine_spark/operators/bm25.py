@@ -39,12 +39,22 @@ def query_terms(engine, text: str) -> list[str]:
 
 
 def bm25_topk(
-    engine, text: str, k: int = 10, conjunctive: bool = False
+    engine, text: str, k: int = 10, conjunctive: bool = False,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Disjunctive (default) or conjunctive BM25 top-k.
 
     Returns (doc_id, score, n_terms) ordered best-first; ties break on
     ascending doc_id for cross-run determinism.
+
+    ``allowed``: optional (doc_id) frame of metadata-eligible docs (the
+    ``where=`` of ``SearchEngine.search_bm25``); semi-joined against the
+    per-doc aggregate — one row per candidate doc, i.e. AFTER the
+    postings sliver collapses, the smallest place the gate can sit —
+    BEFORE the top-k, so a filtered query fills k from the filtered set.
+    Scores keep full-corpus statistics (df, avgdl, N): filtering narrows
+    WHICH docs are eligible, not what the corpus looks like — the same
+    semantics as Lucene's filter clauses.
     """
     terms = query_terms(engine, text)
     spark = engine.spark
@@ -98,6 +108,8 @@ def bm25_topk(
     )
     if conjunctive:
         per_doc = per_doc.filter(F.col("n_terms") == len(terms))
+    if allowed is not None:
+        per_doc = per_doc.join(allowed, "doc_id", "left_semi")
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -289,6 +289,66 @@ SQL_BM25_TOPK = _SQL_BM25_CORE + (
 )
 
 
+def q_bm25_topk_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k with the user-facing result projection: ranked ids
+    join back to the documents table for metadata + a leading text
+    slice — the fetch-after-slice shape of the reference's
+    ``SearchResult`` {title, introduction, url}
+    (/root/reference/src/engine.ts:141-150) on the corpus tables, which
+    carry (lang, source, text) instead. The engine-side twin
+    (``SearchEngine.search_bm25(with_results=True)``) additionally
+    builds the quirk-faithful snippet in an Arrow stage and is
+    pytest-gated (tests/test_ranked_filtered.py); this oracle pins the
+    projection join + ordering."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source",
+        F.substring("text", 1, 120).alias("introduction"),
+    )
+    return (
+        _bm25_scores(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("doc_id", "score", "n_terms", "lang", "source",
+                "introduction")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+SQL_BM25_TOPK_PROJECTED = _SQL_BM25_CORE + (
+    "SELECT p.doc_id, p.score, p.n_terms, d.lang, d.source, "
+    "substr(d.text, 1, 120) AS introduction "
+    "FROM per_doc p JOIN documents d USING (doc_id) "
+    "ORDER BY p.score DESC, p.doc_id ASC LIMIT 100"
+)
+
+
+def q_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ranked retrieval: BM25 top-k restricted to
+    ``lang = 'en'`` docs. The gate is a semi-join on the filtered doc-id
+    set applied BEFORE the top-k slice (fill k from the filtered set);
+    scores keep full-corpus statistics (df/avgdl/N) — filtering narrows
+    which docs are eligible, not what the corpus looks like. Twin of
+    ``SearchEngine.search_bm25(where=...)`` (operators/search.py), the
+    most common real-world query shape on transcript corpora
+    ("assistant turns only", "lang = en")."""
+    allowed = (
+        _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    )
+    return (
+        _bm25_scores(spark, sf_dir)
+        .join(allowed, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+SQL_FILTERED_BM25 = _SQL_BM25_CORE + (
+    "SELECT doc_id, score, n_terms FROM per_doc "
+    "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en') "
+    "ORDER BY score DESC, doc_id ASC LIMIT 100"
+)
+
+
 WAND_TERMS = ["scan", "sort"]  # distinct from CONJ_TERMS; df skew differs
 WAND_K = 10
 WAND_RANGE = 8  # doc_ids per aligned block; ~63 ranges on the 500-doc SFs
@@ -2133,6 +2193,8 @@ QUERIES = {
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "bm25_scores_all": (q_bm25_scores_all, SQL_BM25_SCORES_ALL),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_topk_projected": (q_bm25_topk_projected, SQL_BM25_TOPK_PROJECTED),
+    "filtered_bm25": (q_filtered_bm25, SQL_FILTERED_BM25),
     "wand_topk": (q_wand_topk, SQL_WAND_TOPK),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -323,62 +323,11 @@ class SearchEngine:
         ]
         if not lookup:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        allowed = None
-        if where is not None:
-            # warmed engines evaluate the metadata predicate against the
-            # pinned docs projection (title/url/doc_id are all in it) —
-            # a cold parquet scan per filtered query would be exactly
-            # the I/O warm() exists to remove
-            src = (
-                self._docs_proj
-                if self._warmed and getattr(self, "_docs_proj", None)
-                is not None
-                else self.docs
-            )
-            allowed = src.filter(where).select("doc_id")
+        allowed = self._allowed_ids(where)
         cand = self.candidates(words, quotes, lookup, allowed=allowed)
-
-        if self._warmed and getattr(self, "_docs_proj", None) is not None:
-            # fused SINGLE-JOB path: the <=100 candidates merge-join the
-            # docs cache, which warm() pre-partitioned and pre-sorted on
-            # doc_id — the candidate groupBy output is already hash-
-            # partitioned on doc_id at the same count, so the join needs
-            # no exchange, no sort on the docs side, and (unlike the
-            # earlier broadcast formulation) no separate broadcast-build
-            # job: measured ~10-15% off p50 at 160k turns
-            pages = self._docs_proj.join(
-                cand.select("doc_id"), "doc_id"
-            ).select("doc_id", "title", "url", "words")
-        else:
-            mode = self.config.cold_fetch
-            if mode == "auto":
-                mode = (
-                    "fused"
-                    if int(self.corpus_stats["n_docs"]) <= COLD_FUSED_MAX_DOCS
-                    else "pushdown"
-                )
-            if mode == "fused":
-                # single compiled plan: the <=100-row candidate frame
-                # broadcast-joins the docs scan — no driver roundtrip, no
-                # second plan compile. The docs scan is UNPRUNED (a
-                # broadcast build can't reach parquet row-group stats), so
-                # auto mode only picks this while the table is small
-                # enough that scanning it costs less than the saved
-                # roundtrip; at 100 TB auto degrades to pushdown.
-                pages = self.docs.join(
-                    F.broadcast(cand.select("doc_id")), "doc_id"
-                ).select("doc_id", "title", "url", "words")
-            else:
-                # pushdown mirrors the reference's fetch-after-slice
-                # (engine.ts:141-150): collect <=100 ids so the doc fetch
-                # is an IN-filter PUSHED INTO the parquet scan — on a
-                # 100 TB docs table this prunes to a handful of row groups
-                ids = [r["doc_id"] for r in cand.collect()]
-                if not ids:
-                    return self.spark.createDataFrame([], RESULT_SCHEMA)
-                pages = self.docs.filter(F.col("doc_id").isin(ids)).select(
-                    "doc_id", "title", "url", "words"
-                )
+        pages = self._fetch_pages(cand.select("doc_id"))
+        if pages is None:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
 
         # <=INTERSECT_CAP candidate rows, but they inherit the docs table's
         # partitioning (dozens of partitions) — without this shuffle the
@@ -407,6 +356,63 @@ class SearchEngine:
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(max_count)
+        )
+
+    def _allowed_ids(self, where) -> Optional[DataFrame]:
+        """(doc_id) frame of docs passing the metadata predicate
+        ``where`` (a Column over title/url), or None. Warmed engines
+        evaluate it against the pinned docs projection (title/url/doc_id
+        are all in it) — a cold parquet scan per filtered query would be
+        exactly the I/O warm() exists to remove; cold, the predicate
+        pushes into the docs parquet scan."""
+        if where is None:
+            return None
+        src = (
+            self._docs_proj
+            if self._warmed and getattr(self, "_docs_proj", None) is not None
+            else self.docs
+        )
+        return src.filter(where).select("doc_id")
+
+    def _fetch_pages(self, cand: DataFrame) -> Optional[DataFrame]:
+        """Fetch (doc_id, title, url, words) for a bounded candidate-id
+        frame (≤100 parity candidates or ≤k ranked ids) — the
+        fetch-after-slice contract (engine.ts:141-150). Returns None
+        when the pushdown path collects zero ids.
+
+        Three shapes, in cost order at the relevant scale:
+
+        - warmed: merge-join against the docs cache, which warm()
+          pre-partitioned and pre-sorted on doc_id — no exchange, no
+          docs-side sort, no separate broadcast-build job (measured
+          ~10-15% off p50 at 160k turns).
+        - cold fused: single compiled plan, candidates broadcast-join
+          the docs scan — no driver roundtrip; the docs scan is UNPRUNED
+          (a broadcast build can't reach parquet row-group stats), so
+          auto mode only picks this below COLD_FUSED_MAX_DOCS.
+        - cold pushdown: collect the bounded ids so the fetch is an
+          IN-filter PUSHED INTO the parquet scan — on a 100 TB docs
+          table this prunes to a handful of row groups."""
+        if self._warmed and getattr(self, "_docs_proj", None) is not None:
+            return self._docs_proj.join(cand, "doc_id").select(
+                "doc_id", "title", "url", "words"
+            )
+        mode = self.config.cold_fetch
+        if mode == "auto":
+            mode = (
+                "fused"
+                if int(self.corpus_stats["n_docs"]) <= COLD_FUSED_MAX_DOCS
+                else "pushdown"
+            )
+        if mode == "fused":
+            return self.docs.join(F.broadcast(cand), "doc_id").select(
+                "doc_id", "title", "url", "words"
+            )
+        ids = [r["doc_id"] for r in cand.collect()]
+        if not ids:
+            return None
+        return self.docs.filter(F.col("doc_id").isin(ids)).select(
+            "doc_id", "title", "url", "words"
         )
 
     def candidates(
@@ -737,13 +743,97 @@ class SearchEngine:
 
     # -- BM25 (scale path; see bm25.py / wand.py) ---------------------------
     def search_bm25(self, text: str, k: int = 10, conjunctive: bool = False,
-                    use_wand: bool = False) -> DataFrame:
+                    use_wand: bool = False, where=None,
+                    with_results: bool = False) -> DataFrame:
+        """Ranked BM25 top-k (exhaustive by default, block-max WAND with
+        ``use_wand`` — results identical, tested).
+
+        ``where``: optional metadata Column predicate over the docs
+        table (title/url), same contract as :meth:`search` — candidates
+        are gated BEFORE the top-k (semi-join on the filtered doc-id
+        set), so a filtered query fills k from the filtered set; scores
+        keep full-corpus statistics.
+
+        ``with_results``: project the reference's user-facing result
+        shape onto the ranked ids — (doc_id, score, n_terms, title,
+        introduction, url) like ``SearchResult``
+        (/root/reference/src/engine.ts:141-150,
+        src/@types/index.d.ts:18-22) with the BM25 score in place of
+        the heuristic one. Composes the existing fetch-after-slice +
+        snippet Arrow stage over the ≤k ranked ids, so the projection
+        adds one bounded fetch regardless of corpus size."""
         from .bm25 import bm25_topk
         from .wand import wand_topk
 
+        allowed = self._allowed_ids(where)
         if use_wand:
-            return wand_topk(self, text, k=k, conjunctive=conjunctive)
-        return bm25_topk(self, text, k=k, conjunctive=conjunctive)
+            ranked = wand_topk(
+                self, text, k=k, conjunctive=conjunctive, allowed=allowed
+            )
+        else:
+            ranked = bm25_topk(
+                self, text, k=k, conjunctive=conjunctive, allowed=allowed
+            )
+        if with_results:
+            return self._project_results(ranked, text)
+        return ranked
+
+    def _project_results(self, ranked: DataFrame, text: str) -> DataFrame:
+        """Attach (title, introduction, url) to a ranked ≤k-row
+        (doc_id, score, n_terms) frame — the fetch-after-slice shape:
+        only the already-sliced ids are fetched, so the projection cost
+        is O(k) pages at any corpus size.
+
+        Warmed: stays ONE plan — ranked merge-joins the pinned docs
+        projection (no collect). Cold: the ranked rows collect (≤k, the
+        slice already happened) so the page fetch reuses
+        :meth:`_fetch_pages`'s pushdown/fused shapes without recomputing
+        the ranking, and the scores rejoin from a k-row literal frame.
+        The snippet comes from the same Arrow stage as :meth:`search`
+        (scoring.make_score_intro_udf), keeping the reference's snippet
+        quirks; the BM25 score is kept, the heuristic one discarded."""
+        out_cols = [
+            "doc_id", "score", "n_terms", "title",
+            F.col("si.introduction").alias("introduction"), "url",
+        ]
+        empty = (
+            "doc_id long, score double, n_terms long, title string, "
+            "introduction string, url string"
+        )
+        words, quotes = tokenize(text)
+        lookup = [
+            w for w in words if not is_stop_word(w, self.config.stop_words)
+        ]
+        if self._warmed and getattr(self, "_docs_proj", None) is not None:
+            pages = self._docs_proj.join(ranked, "doc_id").select(
+                "doc_id", "score", "n_terms", "title", "url", "words"
+            )
+        else:
+            rows = ranked.collect()
+            if not rows:
+                return self.spark.createDataFrame([], empty)
+            lit = self.spark.createDataFrame(
+                [
+                    (int(r["doc_id"]), float(r["score"]), int(r["n_terms"]))
+                    for r in rows
+                ],
+                "doc_id long, score double, n_terms long",
+            )
+            fetched = self._fetch_pages(lit.select("doc_id"))
+            pages = fetched.join(F.broadcast(lit), "doc_id").select(
+                "doc_id", "score", "n_terms", "title", "url", "words"
+            )
+        # one ≤k-row shuffle so the Arrow stage is a single task (same
+        # rationale as search())
+        pages = pages.repartition(1)
+        both = make_score_intro_udf(
+            lookup, words, quotes, self.config.score_weights
+        )
+        return (
+            pages.withColumn("si", both("title", "url", "words"))
+            .select(*out_cols)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
 
 
 def _quote_pairs(

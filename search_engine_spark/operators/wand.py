@@ -135,18 +135,33 @@ def _prepare(engine, text: str):
 
 
 def _theta_schedule(engine, present, blocks, stats, df_map, n, k, *,
-                    seed_blocks, theta_rounds, conjunctive, decode):
-    """Iteratively tightened pruning thresholds, one per round.
+                    seed_blocks, theta_rounds, conjunctive, decode,
+                    allowed=None, diag=None):
+    """Iteratively tightened pruning thresholds, one per round —
+    INCREMENTAL: round r decodes each term's blocks ranked
+    (r*seed_blocks, (r+1)*seed_blocks] by block upper bound, exact-scores
+    ONLY the doc_ids no earlier round scored, and merges them into a
+    driver-held k-best pool (k tuples). θ_r = pooled k-th best score.
 
-    Round r decodes + exact-scores each term's blocks ranked
-    (r*seed_blocks, (r+1)*seed_blocks] by block upper bound, pools them
-    with every earlier round's docs, and takes the pooled k-th best
-    score as θ_r. The pool only grows, so θ is non-decreasing; every θ
-    is a true k-th-score lower bound, so correctness never depends on
-    how many rounds run (they only shrink the decode set). Stops early
-    when a round stops improving θ (the usual case once the seed blocks
-    already contain the true top-k). Each round is ONE bounded job over
-    ≤ rounds·|terms|·seed_blocks·block_size docs."""
+    The earlier formulation re-scored the ENTIRE growing pool every
+    round (``pool.union(ids).distinct()`` → exact_scores), paying
+    O(r·seed_docs) scoring rows in round r; scores are deterministic per
+    doc (term-ordered fold), so scoring each doc once and keeping the
+    running k-best yields the IDENTICAL θ schedule (equality to the
+    exhaustive path stays pytest-gated) at O(new ids) per round — the
+    per-round scored-row counts ride out through ``diag``.
+
+    Driver state is bounded: seen-ids ≤ rounds·|terms|·seed_blocks·
+    block_size (the same bound the old pool job had), k-best is k
+    tuples; each round's collect is ≤ that round's new ids. θ is
+    non-decreasing and every θ is a true k-th-score lower bound, so
+    correctness never depends on how many rounds run (they only shrink
+    the decode set). Stops early when a round stops improving θ.
+
+    ``allowed``: optional (doc_id) metadata-filter frame — seed ids are
+    semi-joined against it BEFORE scoring, so θ lower-bounds the
+    *filtered* k-th score (an unfiltered θ could overshoot it and prune
+    blocks holding filtered top-k docs)."""
     block_ub = (
         F.col("block_max_partial")
         * _idf_expr(df_map, n)
@@ -159,30 +174,48 @@ def _theta_schedule(engine, present, blocks, stats, df_map, n, k, *,
         ),
     )
     thetas: list[float] = []
-    pool = None
+    seen: set[int] = set()
+    best: list[tuple[float, int]] = []  # (score, doc_id), len <= k
     theta = 0.0
     for rnd in range(max(1, theta_rounds)):
         lo, hi = rnd * seed_blocks, (rnd + 1) * seed_blocks
-        ids = (
+        ids_df = (
             ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
             .select(
                 F.explode(decode("first_doc", "doc_deltas")).alias("doc_id")
             )
             .distinct()
         )
-        pool = ids if pool is None else pool.union(ids).distinct()
-        scores = _exact_scores(engine, present, pool, stats)
-        if conjunctive:
-            # θ must lower-bound the *conjunctive* k-th score, which can
-            # sit below the disjunctive one — pool with the filter applied
-            scores = scores.filter(F.col("n_terms") == len(present))
-        kth = (
-            scores.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .collect()
-        )
-        new_theta = kth[-1]["score"] if len(kth) >= k else 0.0
+        if allowed is not None:
+            ids_df = ids_df.join(allowed, "doc_id", "left_semi")
+        ids = [r["doc_id"] for r in ids_df.collect()]
+        new_ids = sorted(i for i in ids if i not in seen)
+        scored_rows = 0
+        if new_ids:
+            seen.update(new_ids)
+            cand = engine.spark.createDataFrame(
+                [(i,) for i in new_ids], "doc_id long"
+            )
+            scores = _exact_scores(engine, present, cand, stats)
+            if conjunctive:
+                # θ must lower-bound the *conjunctive* k-th score, which
+                # can sit below the disjunctive one — filter before
+                # merging (non-qualifying docs stay in ``seen``: their
+                # score is final, rescoring can't qualify them)
+                scores = scores.filter(F.col("n_terms") == len(present))
+            rows = scores.collect()
+            scored_rows = len(rows)
+            best.extend(
+                (float(r["score"]), int(r["doc_id"])) for r in rows
+            )
+            best.sort(key=lambda t: (-t[0], t[1]))
+            del best[k:]
+        new_theta = best[k - 1][0] if len(best) >= k else 0.0
         thetas.append(max(theta, new_theta))
+        if diag is not None:
+            diag.append(
+                {"decoded_ids": len(ids), "newly_scored_docs": scored_rows}
+            )
         if rnd > 0 and new_theta <= theta + 1e-12:
             break
         theta = thetas[-1]
@@ -241,10 +274,18 @@ def _range_refine(blocks, survivors, present, df_map, n, k1, theta):
     ub_col = (
         F.col("block_max_partial") * _idf_expr(df_map, n) * F.lit(k1 + 1.0)
     )
+    # clamp to the top bucket: doc ids can sit above n (sparse ids after
+    # deletes without compaction, or stale corpus_stats), which would
+    # otherwise push floor(doc/span) past the grid and break the
+    # "≤ WAND_RANGE_GRID buckets, always broadcastable" size claim.
+    # Clamping merges the overflow into bucket GRID-1 — bounds stay
+    # valid (a bucket max over MORE blocks is never smaller), and both
+    # ends clamp so the sequence stays lo ≤ hi
+    top = F.lit(WAND_RANGE_GRID - 1)
     buckets = F.explode(
         F.sequence(
-            F.floor(F.col("first_doc") / span),
-            F.floor(F.col("max_doc") / span),
+            F.least(F.floor(F.col("first_doc") / span), top),
+            F.least(F.floor(F.col("max_doc") / span), top),
         )
     ).alias("g")
     cov_all = blocks.select("term", ub_col.alias("ub"), buckets)
@@ -270,10 +311,17 @@ def _range_refine(blocks, survivors, present, df_map, n, k1, theta):
 
 def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
               conjunctive: bool = False, theta_rounds: int = 2,
-              range_aware: bool = True) -> DataFrame:
+              range_aware: bool = True, allowed=None) -> DataFrame:
     """Block-max-pruned BM25 top-k. Returns (doc_id, score, n_terms)
     ordered (score desc, doc_id asc) — rank- and score-identical to
     ``bm25.bm25_topk`` (tested).
+
+    ``allowed``: optional (doc_id) frame of metadata-eligible docs (the
+    ``where=`` of ``SearchEngine.search_bm25``). θ is seeded over
+    filtered docs only (see ``_theta_schedule``) and decoded candidates
+    are semi-joined against it before exact scoring, so the result is
+    the true filtered top-k; block pruning stays lossless because block
+    bounds upper-bound every doc, filtered or not.
 
     ``range_aware`` (default on) applies the true Block-Max WAND bound
     (``_range_refine``) after the free global-bound literal filter: on
@@ -302,7 +350,7 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
     thetas = _theta_schedule(
         engine, present, blocks, stats, df_map, n, k,
         seed_blocks=seed_blocks, theta_rounds=theta_rounds,
-        conjunctive=conjunctive, decode=decode,
+        conjunctive=conjunctive, decode=decode, allowed=allowed,
     )
     theta = thetas[-1]
 
@@ -317,6 +365,8 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
     cand = survivors.select(
         F.explode(decode("first_doc", "doc_deltas")).alias("doc_id")
     ).distinct()
+    if allowed is not None:
+        cand = cand.join(allowed, "doc_id", "left_semi")
     scored = _exact_scores(engine, present, cand, stats)
     if conjunctive:
         scored = scored.filter(F.col("n_terms") == len(present))
@@ -331,18 +381,26 @@ def wand_prune_stats(engine, text: str, k: int = 10, seed_blocks: int = 2,
     round for one query — evidence that iterative tightening prunes
     MORE blocks at equal (tested-identical) results, and that the
     range-aware bound prunes where the global bound cannot
-    (``global_pruned_fraction`` rides along for comparison)."""
+    (``global_pruned_fraction`` rides along for comparison). Per-round
+    ``newly_scored_docs`` evidences the incremental θ formulation
+    (round r scores only its new ids, not the whole pool).
+
+    The term-filtered blocks scan is re-read by the θ schedule plus two
+    counts per round — persist it for the helper's lifetime so the
+    diagnostic doesn't pay the scan 2·rounds+1 times."""
     prep = _prepare(engine, text)
     if prep is None:
         return {"n_blocks": 0, "rounds": []}
     present, blocks, stats, df_map, term_max = prep
+    blocks = blocks.persist()
     k1 = engine.config.bm25_k1
     n = float(engine.corpus_stats["n_docs"])
     decode = decode_doc_ids_udf()
+    diag: list[dict] = []
     thetas = _theta_schedule(
         engine, present, blocks, stats, df_map, n, k,
         seed_blocks=seed_blocks, theta_rounds=theta_rounds,
-        conjunctive=conjunctive, decode=decode,
+        conjunctive=conjunctive, decode=decode, diag=diag,
     )
     total = blocks.count()
     rounds = []
@@ -367,8 +425,10 @@ def wand_prune_stats(engine, text: str, k: int = 10, seed_blocks: int = 2,
                 "global_pruned_fraction": round(
                     1.0 - surv_g / max(1, total), 4
                 ),
+                **(diag[i] if i < len(diag) else {}),
             }
         )
+    blocks.unpersist()
     return {"n_blocks": total, "terms": len(present), "rounds": rounds}
 
 

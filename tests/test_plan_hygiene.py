@@ -58,6 +58,34 @@ def test_wand_plan_jvm_side(engine):
     assert "In(term" in plan
 
 
+def test_filtered_bm25_corpus_lang_pushdown(spark):
+    """filtered_bm25 (registry twin): the lang predicate must reach the
+    documents parquet scan — at 100 TB the metadata gate is row-group
+    pruning, not a post-scan filter."""
+    from search_engine_spark.operators.corpus_queries import q_filtered_bm25
+
+    df = q_filtered_bm25(spark, SF_DIR)
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    assert "EqualTo(lang,en)" in plan
+
+
+def test_filtered_bm25_engine_metadata_pushdown(engine):
+    """Engine-side where=: the metadata predicate reaches the docs scan
+    (cold engine — warmed engines evaluate it on the pinned projection)
+    and the term IN-list still reaches the postings scan."""
+    from pyspark.sql import functions as F
+
+    df = engine.search_bm25(
+        "filter join window", k=10,
+        where=F.col("title").startswith("assistant:"),
+    )
+    plan = plan_of(df)
+    assert_no_row_python(plan)
+    assert "In(term" in plan
+    assert "StringStartsWith(title,assistant:)" in plan
+
+
 def test_reference_search_plan_arrow_only(engine):
     """Cold search at tiny SF auto-picks cold_fetch="fused": the <=100-row
     candidate frame broadcast-joins the docs scan inside ONE compiled plan

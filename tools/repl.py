@@ -72,11 +72,19 @@ def main() -> None:
                 continue
             from pyspark.sql import functions as F
 
-            rows = engine.search(
-                parts[2],
-                max_count=args.k,
-                where=F.col("title").startswith(parts[1] + ":"),
-            ).collect()
+            role_pred = F.col("title").startswith(parts[1] + ":")
+            if args.bm25 or args.wand:
+                # filtered RANKED retrieval: the metadata gate applies
+                # before the top-k, and with_results projects the
+                # user-facing title/snippet/url onto the BM25/WAND path
+                rows = engine.search_bm25(
+                    parts[2], k=args.k, use_wand=args.wand,
+                    where=role_pred, with_results=True,
+                ).collect()
+            else:
+                rows = engine.search(
+                    parts[2], max_count=args.k, where=role_pred
+                ).collect()
             dt = 1000 * (time.time() - t0)
             for r in rows:
                 print(f"* {r['title']}  [{r['url']}]")
@@ -116,11 +124,12 @@ def main() -> None:
             continue
         if args.bm25 or args.wand:
             rows = engine.search_bm25(
-                query, k=args.k, use_wand=args.wand
+                query, k=args.k, use_wand=args.wand, with_results=True
             ).collect()
             dt = 1000 * (time.time() - t0)
             for r in rows:
-                print(f"  {r['score']:9.4f}  doc {r['doc_id']}")
+                print(f"  {r['score']:9.4f}  {r['title']}  [{r['url']}]")
+                print(f"    {r['introduction']}")
         else:
             rows = engine.search(query, max_count=args.k).collect()
             dt = 1000 * (time.time() - t0)
