@@ -181,6 +181,14 @@ class SearchEngine:
             self._blocks = None
             self._docs_proj = None
             self._load_tables()  # re-lists files AND re-reads tombstones
+            # scalar stats advance with the snapshot too: BM25 idf/avgdl
+            # and count() must see the refreshed corpus, not the one this
+            # engine opened on (serve-while-ingest re-warm contract)
+            self.corpus_stats = json.loads(
+                fsio.read_text(
+                    os.path.join(self.index_dir, "corpus_stats.json")
+                )
+            )
         self.postings = self.postings.persist()
         self.term_positions = self.term_positions.persist()
         # per-term document-frequency stats: one row per term, ~1000x
