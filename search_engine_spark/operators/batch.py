@@ -48,6 +48,11 @@ BM25_BATCH_SCHEMA = (
     "query_id int, rank int, doc_id long, score double, n_terms int"
 )
 
+BM25_BATCH_RESULT_SCHEMA = (
+    "query_id int, rank int, doc_id long, score double, n_terms int, "
+    "title string, introduction string, url string"
+)
+
 # per-(group, doc) adjacency predicate over the collected word slots of
 # ONE quote group: every slot present, then fold array_intersect over
 # the (-word_idx)-shifted position arrays — non-empty means the words
@@ -365,7 +370,8 @@ def q_batch_search(spark, sf_dir: str) -> DataFrame:
 
 
 def bm25_many(
-    engine, texts: Sequence[str], k: int = 10, conjunctive: bool = False
+    engine, texts: Sequence[str], k: int = 10, conjunctive: bool = False,
+    with_results: bool = False,
 ) -> DataFrame:
     """BM25 top-k for a batch of queries in one fused plan: one pushed
     IN-scan of postings, one broadcast of (qid, term[, idf]), one
@@ -374,10 +380,19 @@ def bm25_many(
 
     Warmed engines inline idf from the driver-pinned vocab map into the
     broadcast side — the batch stays a single job with no stats scan.
+
+    ``with_results`` appends (title, introduction, url) per hit — the
+    reference's ``SearchResult`` projection (engine.ts:141-150) batch-
+    wide: one bounded fetch over the ≤ k·|queries| ranked ids plus ONE
+    Arrow snippet stage for the whole batch (same shape as
+    ``search_many``'s page stage).
     """
     from .bm25 import query_terms
 
     spark = engine.spark
+    empty_schema = (
+        BM25_BATCH_RESULT_SCHEMA if with_results else BM25_BATCH_SCHEMA
+    )
     # canonical dedup: a BM25 result depends only on the sorted term
     # set, so identical signatures share one scoring pass and fan out to
     # their qids after the top-k window (result sharing, as in
@@ -392,7 +407,7 @@ def bm25_many(
             cqid_of[terms] = len(cqid_of)
         qid_map_rows.append((qid, cqid_of[terms]))
     if not cqid_of:
-        return spark.createDataFrame([], BM25_BATCH_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     # slot = index of the term in the signature's SORTED term list — the
     # per-doc score sum below adds slot columns left-to-right, which is
     # exactly the array_sort-fold order of the per-query path (bm25.py),
@@ -479,7 +494,7 @@ def bm25_many(
         )
     w = Window.partitionBy("cqid").orderBy(F.desc("score"), F.asc("doc_id"))
     qid_map = spark.createDataFrame(qid_map_rows, "qid int, cqid int")
-    return (
+    ranked = (
         per_doc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .join(F.broadcast(qid_map), "cqid")
@@ -489,6 +504,54 @@ def bm25_many(
             "doc_id",
             "score",
             F.col("n_terms").cast("int").alias("n_terms"),
+        )
+    )
+    if not with_results:
+        return ranked.orderBy("query_id", "rank")
+    return _project_many(engine, ranked, texts)
+
+
+def _project_many(engine, ranked: DataFrame, texts: Sequence[str]) -> DataFrame:
+    """Attach (title, introduction, url) to a batch-ranked
+    (query_id, rank, doc_id, score, n_terms) frame — the batch analogue
+    of ``SearchEngine._project_results``: warmed engines merge-join the
+    pinned docs projection (no collect, one plan); cold engines collect
+    the ≤ k·|queries| ranked rows once so the page fetch is an IN-filter
+    pushed into the docs scan. One Arrow stage snippets the whole batch
+    (per-row query spec resolved by qid inside the UDF)."""
+    spark = engine.spark
+    specs = parse_queries(texts, engine.config.stop_words)
+    udf_specs = {
+        s["qid"]: (s["lookup"], s["words"], s["quotes"]) for s in specs
+    }
+    cols = ["query_id", "rank", "doc_id", "score", "n_terms"]
+    if engine._warmed and getattr(engine, "_docs_proj", None) is not None:
+        pages = engine._docs_proj.join(ranked, "doc_id").select(
+            *cols, "title", "url", "words"
+        )
+    else:
+        rows = ranked.collect()
+        if not rows:
+            return spark.createDataFrame([], BM25_BATCH_RESULT_SCHEMA)
+        lit = spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in rows], BM25_BATCH_SCHEMA
+        )
+        ids = sorted({r["doc_id"] for r in rows})
+        pages = (
+            engine.docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "title", "url", "words")
+            .join(F.broadcast(lit), "doc_id")
+            .select(*cols, "title", "url", "words")
+        )
+    pages = pages.repartition(engine._serve_partitions(), "query_id")
+    both = make_batch_score_intro_udf(udf_specs, engine.config.score_weights)
+    return (
+        pages.withColumn(
+            "si", both(F.col("query_id"), "title", "url", "words")
+        )
+        .select(
+            *cols, "title",
+            F.col("si.introduction").alias("introduction"), "url",
         )
         .orderBy("query_id", "rank")
     )

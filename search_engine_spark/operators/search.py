@@ -530,12 +530,18 @@ class SearchEngine:
         return search_many(self, texts, max_count=max_count)
 
     def search_bm25_many(
-        self, texts: Sequence[str], k: int = 10, conjunctive: bool = False
+        self, texts: Sequence[str], k: int = 10, conjunctive: bool = False,
+        with_results: bool = False,
     ) -> DataFrame:
-        """Batch BM25 top-k — one fused plan for the whole query set."""
+        """Batch BM25 top-k — one fused plan for the whole query set;
+        ``with_results`` appends the (title, introduction, url)
+        projection batch-wide (see batch.bm25_many)."""
         from .batch import bm25_many
 
-        return bm25_many(self, texts, k=k, conjunctive=conjunctive)
+        return bm25_many(
+            self, texts, k=k, conjunctive=conjunctive,
+            with_results=with_results,
+        )
 
     # -- extended boolean syntax (see boolean.py) ----------------------------
     def search_boolean(self, text: str, max_count: int = 100) -> DataFrame:

@@ -38,14 +38,16 @@ QUERY_SCHEMA = "query_id long, text string"
 def _remap_query_ids(spark: SparkSession, res: DataFrame,
                      ext_ids: list[int]) -> DataFrame:
     """batch.py numbers queries 0..n-1 by position; map back to the
-    caller's external query_id via a broadcast of the tiny id list."""
-    id_map = spark.createDataFrame(
-        list(enumerate(ext_ids)), "query_id int, ext_id long"
+    caller's external query_id. A literal map keyed on the positional id
+    (bounded by the in-flight micro-batch, so a few hundred entries at
+    most) — a map lookup inside the existing projection instead of the
+    earlier broadcast join, which paid a createDataFrame + broadcast
+    exchange per micro-batch."""
+    id_map = F.create_map(
+        *[F.lit(x) for i, e in enumerate(ext_ids) for x in (i, e)]
     )
-    return (
-        res.join(F.broadcast(id_map), "query_id")
-        .drop("query_id")
-        .withColumnRenamed("ext_id", "query_id")
+    return res.withColumn(
+        "query_id", id_map[F.col("query_id")].cast("long")
     )
 
 
@@ -100,8 +102,14 @@ def serve_query_stream(
             res = search_many(engine, texts, max_count=max_count)
         out = _remap_query_ids(spark, res, ext_ids)
         # one sub-dir per micro-batch: append semantics without relying
-        # on parquet-append into a live directory listing
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # on parquet-append into a live directory listing. repartition(1)
+        # (NOT coalesce — that would collapse the upstream Arrow/window
+        # stage to one task): a micro-batch's results are ≤ k·|batch|
+        # rows, so one tiny shuffle buys one output file + one task
+        # commit per batch instead of one per serve partition
+        out.repartition(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
         wall = time.time() - t0
         if metrics is not None:
             metrics.append(

@@ -172,6 +172,36 @@ def test_with_results_empty_query(engine):
     }
 
 
+@pytest.mark.parametrize("warmed", [False, True])
+def test_bm25_many_with_results_matches_single(
+    engine, warm_engine, warmed
+):
+    """Batch projection ≡ N single-query projections, row for row."""
+    e = warm_engine if warmed else engine
+    texts = QUERIES + ['"table scan" merge']
+    batch = e.search_bm25_many(texts, k=5, with_results=True).collect()
+    by_qid: dict[int, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, text in enumerate(texts):
+        single = e.search_bm25(text, k=5, with_results=True).collect()
+        got = [
+            (
+                r["doc_id"], round(r["score"], 9), r["n_terms"],
+                r["title"], r["introduction"], r["url"],
+            )
+            for r in by_qid.get(qid, [])
+        ]
+        want = [
+            (
+                r["doc_id"], round(r["score"], 9), r["n_terms"],
+                r["title"], r["introduction"], r["url"],
+            )
+            for r in single
+        ]
+        assert got == want, text
+
+
 def test_wand_incremental_theta_evidence(engine):
     """The θ schedule scores each doc at most once across rounds: round
     r's newly_scored_docs can never exceed its decoded_ids, and the
