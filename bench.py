@@ -290,19 +290,30 @@ def run(master: str | None = None, sf_dir: str | None = None,
     # every doc scores near-max for every head term — so the
     # all-head-terms shape honestly prunes ~0 while the asymmetric and
     # single-term shapes show the bounds doing real work.
-    from search_engine_spark.operators.wand import wand_prune_stats
+    # BENCH_WAND=0 skips the diagnostic (used by the scaling harness,
+    # whose metric is build throughput — the three prune-stat probes
+    # only add wall time at the 2-core N level)
+    wand_stats = None
+    if os.environ.get("BENCH_WAND", "1") == "1":
+        from search_engine_spark.operators.wand import wand_prune_stats
 
-    from pyspark.sql import functions as _F
+        from pyspark.sql import functions as _F
 
-    ts_rows = (
-        engine.term_stats().orderBy(_F.desc("df"), _F.asc("term")).collect()
-    )
-    w_common, w_rare = ts_rows[0]["term"], ts_rows[-1]["term"]
-    wand_stats = {
-        "head_terms": wand_prune_stats(engine, "filter join window", k=10),
-        "asymmetric": wand_prune_stats(engine, f"{w_common} {w_rare}", k=10),
-        "single_term": wand_prune_stats(engine, w_common, k=10),
-    }
+        ts_rows = (
+            engine.term_stats()
+            .orderBy(_F.desc("df"), _F.asc("term"))
+            .collect()
+        )
+        w_common, w_rare = ts_rows[0]["term"], ts_rows[-1]["term"]
+        wand_stats = {
+            "head_terms": wand_prune_stats(
+                engine, "filter join window", k=10
+            ),
+            "asymmetric": wand_prune_stats(
+                engine, f"{w_common} {w_rare}", k=10
+            ),
+            "single_term": wand_prune_stats(engine, w_common, k=10),
+        }
 
     # two-cluster-size scaling evidence, measured separately by
     # tools/scaling_bench.py (1 vs 4 executor JVMs via spark-submit
@@ -463,12 +474,18 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
 
 if __name__ == "__main__":
     result = run()
-    sidecar = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    try:
-        sidecar.write_text(json.dumps(result, indent=1))
-        detail_file = str(sidecar)
-    except OSError:
-        detail_file = None
-    # ONE compact line, guaranteed last on stdout
-    print(json.dumps(compact_summary(result, detail_file),
-                     separators=(",", ":")))
+    if os.environ.get("BENCH_FULL_JSON") == "1":
+        # full single-line JSON for in-process consumers that parse the
+        # whole detail dict (tools/scaling_bench.py) — the DRIVER path
+        # below stays compact because its artifact tail-truncates
+        print(json.dumps(result))
+    else:
+        sidecar = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        try:
+            sidecar.write_text(json.dumps(result, indent=1))
+            detail_file = str(sidecar)
+        except OSError:
+            detail_file = None
+        # ONE compact line, guaranteed last on stdout
+        print(json.dumps(compact_summary(result, detail_file),
+                         separators=(",", ":")))

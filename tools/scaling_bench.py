@@ -70,6 +70,9 @@ def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
             "SPARK_GC_OPTS": os.environ.get(
                 "SPARK_GC_OPTS", "-XX:+UseParallelGC -XX:ParallelGCThreads=2"
             ),
+            # this harness parses the whole detail dict from stdout; the
+            # compact driver line omits it
+            "BENCH_FULL_JSON": "1",
         }
     )
     spark_submit = shutil.which("spark-submit") or os.path.join(
