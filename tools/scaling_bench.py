@@ -73,6 +73,13 @@ def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
             # this harness parses the whole detail dict from stdout; the
             # compact driver line omits it
             "BENCH_FULL_JSON": "1",
+            # scaling children only need build throughput + per-query
+            # latency (the BENCH.md table); wand prune-stats and the
+            # batch/stream serving stages measure the engine, not the
+            # cluster-size delta, and cost minutes per 2-core N run
+            "BENCH_WAND": os.environ.get("BENCH_WAND", "0"),
+            "BENCH_BATCH": os.environ.get("BENCH_BATCH", "0"),
+            "BENCH_STREAM": os.environ.get("BENCH_STREAM", "0"),
         }
     )
     spark_submit = shutil.which("spark-submit") or os.path.join(
