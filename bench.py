@@ -240,7 +240,8 @@ def run(master: str | None = None, sf_dir: str | None = None,
         # 64-query files (vs r03's 32): per-micro-batch fixed costs
         # (foreachBatch setup, checkpoint commit, parquet write) amortize
         # over the file size — the same lever the fused batch path pulls
-        stexts = [f"{a} {b}" for a, b in pairs[:n_stream]][:n_stream]
+        stream_file_q = max(1, stream_file_q)
+        stexts = [f"{a} {b}" for a, b in pairs[:n_stream]]
         chunks = [
             stexts[i:i + stream_file_q]
             for i in range(0, len(stexts), stream_file_q)
@@ -261,12 +262,19 @@ def run(master: str | None = None, sf_dir: str | None = None,
         ssec = time.time() - ts
         served = sum(m["n_queries"] for m in smetrics)
         timings["stream_serve"] = round(ssec, 3)
-        # steady-state excludes batch 0 (44% slower in r03's per-batch
-        # data: first-batch Arrow worker spin-up + stream start) — the
-        # sustained number a long-running serving tier would see
-        tail = smetrics[1:] if len(smetrics) > 1 else smetrics
+        # steady-state excludes batch 0's sink wall (first-batch Arrow
+        # worker spin-up + stream start) but charges the tail EVERYTHING
+        # else — inter-batch trigger/checkpoint overhead included — by
+        # subtracting from total stream wall rather than summing per-
+        # batch sink times (which would silently drop ~1s/run of stream
+        # machinery a long-running tier pays every batch)
+        if len(smetrics) > 1:
+            tail = smetrics[1:]
+            tail_sec = ssec - smetrics[0]["wall_sec"]
+        else:
+            tail = smetrics
+            tail_sec = ssec
         tail_q = sum(m["n_queries"] for m in tail)
-        tail_sec = sum(m["wall_sec"] for m in tail)
         stream_stats = {
             "n_queries": served,
             "micro_batches": len(smetrics),
@@ -297,11 +305,13 @@ def run(master: str | None = None, sf_dir: str | None = None,
     if os.environ.get("BENCH_WAND", "1") == "1":
         from search_engine_spark.operators.wand import wand_prune_stats
 
-        from pyspark.sql import functions as _F
+        # local import: the batch block's identical import is skipped
+        # when BENCH_BATCH=0
+        from pyspark.sql import functions as F
 
         ts_rows = (
             engine.term_stats()
-            .orderBy(_F.desc("df"), _F.asc("term"))
+            .orderBy(F.desc("df"), F.asc("term"))
             .collect()
         )
         w_common, w_rare = ts_rows[0]["term"], ts_rows[-1]["term"]

@@ -45,11 +45,11 @@ BATCH_RESULT_SCHEMA = (
 )
 
 BM25_BATCH_SCHEMA = (
-    "query_id int, rank int, doc_id long, score double, n_terms int"
+    "query_id int, rank int, doc_id long, score double, n_terms long"
 )
 
 BM25_BATCH_RESULT_SCHEMA = (
-    "query_id int, rank int, doc_id long, score double, n_terms int, "
+    "query_id int, rank int, doc_id long, score double, n_terms long, "
     "title string, introduction string, url string"
 )
 
@@ -503,7 +503,9 @@ def bm25_many(
             "rank",
             "doc_id",
             "score",
-            F.col("n_terms").cast("int").alias("n_terms"),
+            # long, matching the single-query path's n_terms type so
+            # batch and single results union/append cleanly
+            "n_terms",
         )
     )
     if not with_results:
@@ -536,13 +538,11 @@ def _project_many(engine, ranked: DataFrame, texts: Sequence[str]) -> DataFrame:
         lit = spark.createDataFrame(
             [tuple(r[c] for c in cols) for r in rows], BM25_BATCH_SCHEMA
         )
-        ids = sorted({r["doc_id"] for r in rows})
-        pages = (
-            engine.docs.filter(F.col("doc_id").isin(ids))
-            .select("doc_id", "title", "url", "words")
-            .join(F.broadcast(lit), "doc_id")
-            .select(*cols, "title", "url", "words")
-        )
+        # engine._fetch_pages honors the cold_fetch config (fused vs
+        # pushdown) and carries the ranked columns through its join
+        pages = engine._fetch_pages(
+            lit, ids=sorted({r["doc_id"] for r in rows})
+        ).select(*cols, "title", "url", "words")
     pages = pages.repartition(engine._serve_partitions(), "query_id")
     both = make_batch_score_intro_udf(udf_specs, engine.config.score_weights)
     return (

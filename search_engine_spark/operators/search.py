@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 from functools import reduce
 from typing import Optional, Sequence
 
@@ -66,6 +67,10 @@ COLD_FUSED_MAX_DOCS = 10_000_000
 # fits, but the cap keeps warm() safe if it doesn't.
 DRIVER_STATS_CAP = 2_000_000
 
+# distinct metadata predicates whose (doc_id) result frames stay persisted
+# per engine snapshot (ids only — bytes/doc, spill-to-disk storage level)
+ALLOWED_CACHE_SIZE = 4
+
 
 class SearchEngine:
     """Read-side engine over an index directory built by
@@ -86,6 +91,12 @@ class SearchEngine:
         )
         self._warmed = False
         self._term_stats: Optional[DataFrame] = None
+        # persisted (doc_id) frames per metadata predicate, LRU-bounded:
+        # a filtered query evaluates its docs filter ONCE per engine
+        # snapshot, not once per action that consumes it (WAND θ rounds +
+        # final semi-join would otherwise each re-scan docs), and
+        # repeated queries with the same filter reuse the cached ids
+        self._allowed_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
 
     def _load_tables(self) -> None:
         """(Re)list the row-level tables and mask pending tombstones
@@ -174,9 +185,11 @@ class SearchEngine:
                 self._term_stats,
                 getattr(self, "_blocks", None),
                 getattr(self, "_docs_proj", None),
+                *self._allowed_cache.values(),
             ):
                 if h is not None:
                     h.unpersist()
+            self._allowed_cache.clear()
             self._term_stats = None
             self._blocks = None
             self._docs_proj = None
@@ -367,26 +380,48 @@ class SearchEngine:
         )
 
     def _allowed_ids(self, where) -> Optional[DataFrame]:
-        """(doc_id) frame of docs passing the metadata predicate
-        ``where`` (a Column over title/url), or None. Warmed engines
-        evaluate it against the pinned docs projection (title/url/doc_id
-        are all in it) — a cold parquet scan per filtered query would be
-        exactly the I/O warm() exists to remove; cold, the predicate
-        pushes into the docs parquet scan."""
+        """Persisted (doc_id) frame of docs passing the metadata
+        predicate ``where`` (a Column or SQL string over any docs
+        column — Spark's missing-reference resolution reaches columns
+        outside the pinned projection too), or None. Warmed engines
+        evaluate it against the pinned docs projection; cold, the
+        predicate pushes into the docs parquet scan. The result is
+        persisted and LRU-cached per predicate (ALLOWED_CACHE_SIZE):
+        every action that consumes it — WAND θ rounds, the final
+        semi-join, repeated queries with the same filter — reads the
+        cached ids instead of re-scanning docs. Invalidated on
+        re-warm (snapshot advance)."""
         if where is None:
             return None
+        key = str(where)  # Column.__str__ is the expression; str is itself
+        hit = self._allowed_cache.get(key)
+        if hit is not None:
+            self._allowed_cache.move_to_end(key)
+            return hit
         src = (
             self._docs_proj
             if self._warmed and getattr(self, "_docs_proj", None) is not None
             else self.docs
         )
-        return src.filter(where).select("doc_id")
+        out = src.filter(where).select("doc_id").persist()
+        self._allowed_cache[key] = out
+        while len(self._allowed_cache) > ALLOWED_CACHE_SIZE:
+            _, old = self._allowed_cache.popitem(last=False)
+            old.unpersist()
+        return out
 
-    def _fetch_pages(self, cand: DataFrame) -> Optional[DataFrame]:
+    def _fetch_pages(
+        self, cand: DataFrame, ids: Optional[list] = None
+    ) -> Optional[DataFrame]:
         """Fetch (doc_id, title, url, words) for a bounded candidate-id
-        frame (≤100 parity candidates or ≤k ranked ids) — the
-        fetch-after-slice contract (engine.ts:141-150). Returns None
-        when the pushdown path collects zero ids.
+        frame (≤100 parity candidates or ≤k·|queries| ranked ids) — the
+        fetch-after-slice contract (engine.ts:141-150). Extra columns on
+        ``cand`` (scores, ranks, query ids) ride through the join, so
+        callers attach them in the SAME plan instead of a second
+        broadcast. ``ids``: the candidate doc_ids when the caller
+        already holds them on the driver — lets the pushdown shape skip
+        re-collecting a frame whose rows came from a collect in the
+        first place. Returns None when the pushdown path has zero ids.
 
         Three shapes, in cost order at the relevant scale:
 
@@ -401,10 +436,10 @@ class SearchEngine:
         - cold pushdown: collect the bounded ids so the fetch is an
           IN-filter PUSHED INTO the parquet scan — on a 100 TB docs
           table this prunes to a handful of row groups."""
+        extra = [c for c in cand.columns if c != "doc_id"]
+        out_cols = ["doc_id", "title", "url", "words", *extra]
         if self._warmed and getattr(self, "_docs_proj", None) is not None:
-            return self._docs_proj.join(cand, "doc_id").select(
-                "doc_id", "title", "url", "words"
-            )
+            return self._docs_proj.join(cand, "doc_id").select(*out_cols)
         mode = self.config.cold_fetch
         if mode == "auto":
             mode = (
@@ -414,14 +449,20 @@ class SearchEngine:
             )
         if mode == "fused":
             return self.docs.join(F.broadcast(cand), "doc_id").select(
-                "doc_id", "title", "url", "words"
+                *out_cols
             )
-        ids = [r["doc_id"] for r in cand.collect()]
+        if ids is None:
+            ids = [r["doc_id"] for r in cand.select("doc_id").collect()]
         if not ids:
             return None
-        return self.docs.filter(F.col("doc_id").isin(ids)).select(
-            "doc_id", "title", "url", "words"
-        )
+        fetched = self.docs.filter(
+            F.col("doc_id").isin(sorted(ids))
+        ).select("doc_id", "title", "url", "words")
+        if extra:
+            fetched = fetched.join(F.broadcast(cand), "doc_id").select(
+                *out_cols
+            )
+        return fetched
 
     def candidates(
         self,
@@ -833,10 +874,11 @@ class SearchEngine:
                 ],
                 "doc_id long, score double, n_terms long",
             )
-            fetched = self._fetch_pages(lit.select("doc_id"))
-            pages = fetched.join(F.broadcast(lit), "doc_id").select(
-                "doc_id", "score", "n_terms", "title", "url", "words"
-            )
+            # scores/n_terms ride through the fetch join (one broadcast,
+            # no re-collect of ids already on the driver)
+            pages = self._fetch_pages(
+                lit, ids=[int(r["doc_id"]) for r in rows]
+            ).select("doc_id", "score", "n_terms", "title", "url", "words")
         # one ≤k-row shuffle so the Arrow stage is a single task (same
         # rationale as search())
         pages = pages.repartition(1)

@@ -35,19 +35,37 @@ from pyspark.sql import functions as F
 QUERY_SCHEMA = "query_id long, text string"
 
 
+# literal-map remap is a plan-size bet: above this many in-flight queries
+# the CreateMap expression's 2n literal children threaten codegen limits
+# (64KB JVM methods), so fall back to the broadcast join
+REMAP_LITERAL_MAX = 1024
+
+
 def _remap_query_ids(spark: SparkSession, res: DataFrame,
                      ext_ids: list[int]) -> DataFrame:
     """batch.py numbers queries 0..n-1 by position; map back to the
-    caller's external query_id. A literal map keyed on the positional id
-    (bounded by the in-flight micro-batch, so a few hundred entries at
-    most) — a map lookup inside the existing projection instead of the
-    earlier broadcast join, which paid a createDataFrame + broadcast
-    exchange per micro-batch."""
-    id_map = F.create_map(
-        *[F.lit(x) for i, e in enumerate(ext_ids) for x in (i, e)]
+    caller's external query_id. Small micro-batches (the default
+    ``max_files_per_trigger=1`` serves a file at a time) use a literal
+    map lookup inside the existing projection — no createDataFrame, no
+    broadcast exchange per micro-batch. An unbounded trigger
+    (``max_files_per_trigger=None``) can put ALL pending queries in one
+    batch, where 2n map literals would blow plan analysis / codegen
+    limits — above REMAP_LITERAL_MAX the remap is a broadcast join."""
+    if len(ext_ids) <= REMAP_LITERAL_MAX:
+        id_map = F.create_map(
+            *[F.lit(x) for i, e in enumerate(ext_ids) for x in (i, e)]
+        )
+        return res.withColumn(
+            "query_id", id_map[F.col("query_id")].cast("long")
+        )
+    mapping = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(ext_ids)], "query_id long, ext long"
     )
-    return res.withColumn(
-        "query_id", id_map[F.col("query_id")].cast("long")
+    return (
+        res.join(F.broadcast(mapping), "query_id")
+        .drop("query_id")
+        .withColumnRenamed("ext", "query_id")
+        .select(*res.columns)  # same column order as the literal path
     )
 
 

@@ -217,3 +217,60 @@ def test_wand_incremental_theta_evidence(engine):
     for rnd in stats["rounds"]:
         if "newly_scored_docs" in rnd:
             assert rnd["newly_scored_docs"] <= rnd["decoded_ids"]
+
+
+# ---- round-4 review regressions ------------------------------------------
+
+
+def test_batch_single_n_terms_schema_union(engine):
+    """Batch and single-query projected results carry the SAME n_terms
+    type (long) — unionByName/parquet-append across the two paths must
+    not fail on a type mismatch."""
+    from search_engine_spark.operators.batch import bm25_many
+
+    q = QUERIES[0]
+    single = engine.search_bm25(q, k=5, with_results=True)
+    batch = bm25_many(engine, [q], k=5, with_results=True).drop(
+        "query_id", "rank"
+    )
+    assert dict(single.dtypes)["n_terms"] == dict(batch.dtypes)["n_terms"]
+    # must not raise
+    single.unionByName(batch).collect()
+
+
+def test_allowed_ids_cached_and_invalidated(warm_engine):
+    """_allowed_ids persists + reuses the (doc_id) frame per predicate
+    (WAND θ rounds and repeated filtered queries stop re-scanning docs)
+    and re-warm drops the cache with the old snapshot."""
+    pred = "title = 'user:'"
+    a1 = warm_engine._allowed_ids(pred)
+    a2 = warm_engine._allowed_ids(pred)
+    assert a1 is a2
+    assert a1.storageLevel.useMemory or a1.storageLevel.useDisk
+    warm_engine.warm()  # re-warm advances the snapshot
+    assert pred not in warm_engine._allowed_cache or (
+        warm_engine._allowed_ids(pred) is not a1
+    )
+    # results stay correct through the cache
+    got = warm_engine.search_bm25(QUERIES[0], k=5, where=pred)
+    for r in got.collect():
+        assert r["doc_id"] is not None
+
+
+def test_remap_broadcast_fallback_matches_literal(spark, engine, monkeypatch):
+    """Above REMAP_LITERAL_MAX in-flight queries the stream remap
+    switches from a literal map to a broadcast join — same rows, same
+    column order."""
+    from search_engine_spark.streaming import serving
+    from search_engine_spark.operators.batch import bm25_many
+
+    texts = [QUERIES[0], QUERIES[1]]
+    ext_ids = [1007, 42]
+    res = bm25_many(engine, texts, k=3)
+    lit_out = serving._remap_query_ids(spark, res, ext_ids)
+    monkeypatch.setattr(serving, "REMAP_LITERAL_MAX", 0)
+    join_out = serving._remap_query_ids(spark, res, ext_ids)
+    assert lit_out.columns == join_out.columns
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, lit_out.collect()), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, join_out.collect()), key=lambda t: (t[0], t[1]))
