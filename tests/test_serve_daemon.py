@@ -1,0 +1,75 @@
+"""End-to-end test for the warm-serve daemon (tools/serve_daemon.py):
+index on disk -> fresh JVM -> warm() -> micro-batched stdin queries ->
+JSON-lines results. The whole piped burst must land in ONE fused batch
+(amortization is the daemon's reason to exist), per-query hits must
+match the single-query engine, and EOF must shut it down cleanly."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from conftest import build_fixture_engine
+from fixtures_data import PLANETS
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def planets_index(spark, tmp_path_factory):
+    idx = tmp_path_factory.mktemp("daemon_idx")
+    build_fixture_engine(spark, PLANETS, idx)
+    return idx
+
+
+def run_daemon(index_dir, lines, extra_args=()):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "serve_daemon.py"),
+         str(index_dir), "--k", "5", "--master", "local[2]",
+         "--linger-ms", "200", *extra_args],
+        input="\n".join(lines) + "\n",
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return [json.loads(ln) for ln in proc.stdout.splitlines() if ln]
+
+
+def test_daemon_batches_and_answers(planets_index):
+    msgs = run_daemon(
+        planets_index,
+        ["jupiter", "", "saturn giant", "nosuchterm"],  # blank line skipped
+    )
+    assert msgs[0] == {"type": "ready", "docs": 2}
+    results = [m for m in msgs if m["type"] == "result"]
+    stats = [m for m in msgs if m["type"] == "batch_stats"]
+    # the piped burst was pending before the first drain -> ONE batch
+    # of the 3 non-empty queries (the whole point: 1/B job overhead each)
+    assert sum(s["n_queries"] for s in stats) == 3
+    assert len(stats) == 1 and stats[0]["ms_per_query"] > 0
+    by_query = {m["query"]: m for m in results}
+    assert set(by_query) == {"jupiter", "saturn giant", "nosuchterm"}
+    # both PLANETS docs mention Jupiter (SATURN_TEXT: "after Jupiter")
+    jup = by_query["jupiter"]
+    assert jup["n_hits"] == 2
+    assert {h["url"] for h in jup["hits"]} == {
+        "https://en.wikipedia.org/wiki/Jupiter",
+        "https://en.wikipedia.org/wiki/Saturn",
+    }
+    assert all(h["introduction"] for h in jup["hits"])
+    # conjunctive: "saturn" appears only in the Saturn doc
+    sat = by_query["saturn giant"]
+    assert [h["url"] for h in sat["hits"]] == [
+        "https://en.wikipedia.org/wiki/Saturn"
+    ]
+    # a query with no posting rows still gets its result line
+    assert by_query["nosuchterm"]["n_hits"] == 0
+
+
+def test_daemon_bm25_mode(planets_index):
+    msgs = run_daemon(planets_index, ["jupiter planet"], ("--bm25",))
+    res = [m for m in msgs if m["type"] == "result"]
+    assert len(res) == 1 and res[0]["n_hits"] == 2
+    scores = [h["score"] for h in res[0]["hits"]]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0

@@ -1,0 +1,146 @@
+"""Long-running warm-serve daemon over a built index — the persistent
+serving tier the scale analysis in BENCH.md/SCALE.md describes: one
+process warms the engine once (pinned postings/docs caches, serve_mode
+AQE settings), then serves query batches for its whole lifetime at the
+batch-amortized cost instead of the single-probe Spark job floor.
+
+Where tools/repl.py is the human-facing analogue of the reference's
+demo driver (/root/reference/src/demo.ts:159-190) and
+streaming/serving.py is the file-queue Structured Streaming tier, this
+is the pipe-facing variant: line-oriented stdin in, JSON lines out, so
+any process can drive it (`mkfifo` + a producer, a socket relay, a test
+harness) without touching Spark.
+
+Protocol:
+  stdin   one query per line (UTF-8). Empty lines are ignored. EOF
+          shuts the daemon down cleanly.
+  stdout  JSON lines:
+            {"type": "ready", "docs": N}            once, after warm()
+            {"type": "result", "query_id": i, "query": s,
+             "n_hits": n, "hits": [{title, url, introduction
+             [, score]}...]}                        once per query
+            {"type": "batch_stats", "batch": b, "n_queries": q,
+             "wall_ms": w, "ms_per_query": m}       once per micro-batch
+
+Batching: a reader thread feeds a queue; the serve loop blocks for the
+first pending query, then keeps draining until the queue stays empty
+for --linger-ms (or --max-batch is hit). Everything pending lands in
+ONE fused plan (operators/batch.py), so a burst of B queries pays
+~1/B of the per-job overhead each — the measured 15-21x amortization
+over single-probe latency. A lone query ships after the linger with no
+artificial batching delay beyond it.
+
+Usage:
+    python tools/serve_daemon.py <index_dir> [--bm25] [--k 10]
+        [--max-batch 256] [--linger-ms 50] [--master local[N]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from search_engine_spark.config import DEMO_STOP_WORDS, EngineConfig, ScoreWeights
+from search_engine_spark.operators.search import SearchEngine
+from search_engine_spark.session import get_spark
+
+_EOF = object()
+
+
+def _reader(q: "queue.Queue") -> None:
+    """Push stdin lines into the queue; a sentinel marks EOF. A thread
+    (not select on the fd) so Python's buffered readline can't desync
+    from readiness polling when the producer writes in large chunks."""
+    for line in sys.stdin:
+        q.put(line.rstrip("\n"))
+    q.put(_EOF)
+
+
+def drain_batch(q: "queue.Queue", max_batch: int, linger_s: float):
+    """Block for the first pending line, then keep draining until the
+    queue stays empty for ``linger_s`` or ``max_batch`` is reached.
+    Returns (texts, eof_seen)."""
+    texts: list[str] = []
+    eof = False
+    while not eof and len(texts) < max_batch:
+        try:
+            item = q.get(timeout=None if not texts else linger_s)
+        except queue.Empty:
+            break
+        if item is _EOF:
+            eof = True
+        elif item.strip():
+            texts.append(item)
+    return texts, eof
+
+
+def serve_batch(engine, texts, k: int, bm25: bool) -> dict:
+    """One fused plan for the whole batch; returns per-query hit lists
+    keyed by position (queries with no rows still get an entry)."""
+    if bm25:
+        df = engine.search_bm25_many(texts, k=k, with_results=True)
+        cols = ("title", "url", "introduction", "score")
+    else:
+        df = engine.search_many(texts, max_count=k)
+        cols = ("title", "url", "introduction")
+    hits: dict[int, list] = {i: [] for i in range(len(texts))}
+    # bounded: <= k * |texts| rows by construction (top-k per query)
+    for r in df.collect():
+        hits[int(r["query_id"])].append({c: r[c] for c in cols})
+    return hits
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("index_dir")
+    ap.add_argument("--bm25", action="store_true",
+                    help="BM25 ranking instead of reference scoring")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--max-batch", type=int, default=256)
+    ap.add_argument("--linger-ms", type=float, default=50.0)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(master=args.master)
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS,
+                       score_weights=ScoreWeights())
+    engine = SearchEngine(spark, args.index_dir, config=cfg)
+    engine = engine.warm().serve_mode()
+    out = sys.stdout
+    print(json.dumps({"type": "ready", "docs": engine.count()}), flush=True)
+
+    q: "queue.Queue" = queue.Queue()
+    threading.Thread(target=_reader, args=(q,), daemon=True).start()
+
+    batch_no = 0
+    while True:
+        texts, eof = drain_batch(q, args.max_batch, args.linger_ms / 1000.0)
+        if texts:
+            t0 = time.time()
+            hits = serve_batch(engine, texts, args.k, args.bm25)
+            wall_ms = 1000.0 * (time.time() - t0)
+            for i, text in enumerate(texts):
+                out.write(json.dumps({
+                    "type": "result", "query_id": i, "query": text,
+                    "n_hits": len(hits[i]), "hits": hits[i],
+                }) + "\n")
+            out.write(json.dumps({
+                "type": "batch_stats", "batch": batch_no,
+                "n_queries": len(texts), "wall_ms": round(wall_ms, 1),
+                "ms_per_query": round(wall_ms / len(texts), 1),
+            }) + "\n")
+            out.flush()
+            batch_no += 1
+        if eof:
+            break
+
+
+if __name__ == "__main__":
+    main()
