@@ -132,6 +132,72 @@ def run(master: str | None = None, sf_dir: str | None = None,
             "best_ms": round(1000 * samples[0], 1),
         }
 
+    # serving-tier latency: the Spark-BUILT index answered by an
+    # in-process pyarrow reader with NO Spark job (and no JVM) in the
+    # query path (serving/local.py) — the single-probe serving shape.
+    # A Spark action pays a ~0.2-0.5 s scheduling floor per query on
+    # this host (NOTES.md), which three rounds of plan work could not
+    # go below because it is not plan cost; the serving tier is the
+    # architectural answer: Spark builds/maintains the index, serving
+    # nodes read it. Measured two ways: "pinned" (resident postings +
+    # docs — the equal-semantics comparison with the reference's
+    # in-memory engine, memory-storage.ts) and "cold_docs" (postings
+    # pinned, ≤100-id doc fetches through row-group-pruned parquet
+    # reads — the beyond-node-RAM / 100 TB shape). Parity with the
+    # Spark paths is pytest-gated (tests/test_serving_local.py).
+    serve_stats = None
+    if os.environ.get("BENCH_SERVE_LOCAL", "1") == "1":
+        from search_engine_spark.serving import LocalIndexReader
+
+        serve_queries = {
+            "search_conjunctive": lambda r: r.search(
+                "window merge", max_count=10
+            ),
+            "search_phrase": lambda r: r.search(
+                '"table scan" merge', max_count=10
+            ),
+            "bm25_topk": lambda r: r.search_bm25("filter join window", k=10),
+            "bm25_conjunctive": lambda r: r.search_bm25(
+                "filter join window", k=10, conjunctive=True
+            ),
+        }
+        serve_reps = int(os.environ.get("BENCH_SERVE_REPS", "20"))
+
+        def _serve_lat(reader) -> dict:
+            stats = {}
+            for name, fn in serve_queries.items():
+                fn(reader)  # warm the positional LRU once, like any tier
+                samples = []
+                for _ in range(serve_reps):
+                    tq = time.time()
+                    fn(reader)
+                    samples.append(time.time() - tq)
+                samples.sort()
+                stats[name] = {
+                    "p50_ms": round(
+                        1000 * statistics.median(samples), 3
+                    ),
+                    "p95_ms": round(
+                        1000 * samples[max(0, int(len(samples) * 0.95) - 1)],
+                        3,
+                    ),
+                }
+            return stats
+
+        t_open = time.time()
+        pinned_reader = LocalIndexReader(index_dir, config=cfg, pin_docs=True)
+        serve_open_sec = time.time() - t_open
+        timings["serve_local_open"] = round(serve_open_sec, 3)
+        serve_stats = {
+            "open_sec": round(serve_open_sec, 3),
+            "pinned": _serve_lat(pinned_reader),
+            "cold_docs": _serve_lat(
+                LocalIndexReader(index_dir, config=cfg, pin_docs=False)
+            ),
+        }
+        for name, st in serve_stats["pinned"].items():
+            timings[f"serve_{name}"] = round(st["p50_ms"] / 1000, 4)
+
     # batch serving throughput: N queries fused into ONE plan
     # (operators/batch.py) — the 100 TB serving shape, where the Spark
     # job floor amortizes across the in-flight query set. Reported as
@@ -395,6 +461,7 @@ def run(master: str | None = None, sf_dir: str | None = None,
             "replicate": replicate,
             "segments": segments,
             "pin_docs": pin_docs,
+            "serve_local": serve_stats,
             "batch_serving": batch_stats,
             "stream_serving": stream_stats,
             "wand_pruning": wand_stats,
@@ -445,6 +512,17 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
             summary["detail"]["batch_ms_per_q"][
                 f"bm25_{lp['n_queries']}"
             ] = lp["bm25_amortized_ms_per_query"]
+    sv = d.get("serve_local")
+    if sv:
+        summary["detail"]["serve_local_ms"] = {
+            "pinned_p50": {
+                q: v["p50_ms"] for q, v in sv["pinned"].items()
+            },
+            "cold_docs_p50": {
+                q: v["p50_ms"] for q, v in sv["cold_docs"].items()
+            },
+            "open_sec": sv["open_sec"],
+        }
     s = d.get("stream_serving")
     if s:
         summary["detail"]["stream"] = {
@@ -475,7 +553,7 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
         pass
     # hard size guard: the driver tail-captures ~2000 chars — degrade by
     # dropping the least essential blocks rather than ever exceeding it
-    for drop in ("p95_ms", "batch_ms_per_q", "stream"):
+    for drop in ("p95_ms", "batch_ms_per_q", "stream", "serve_local_ms"):
         if len(json.dumps(summary, separators=(",", ":"))) <= 1500:
             break
         summary["detail"].pop(drop, None)

@@ -80,6 +80,9 @@ def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
             "BENCH_WAND": os.environ.get("BENCH_WAND", "0"),
             "BENCH_BATCH": os.environ.get("BENCH_BATCH", "0"),
             "BENCH_STREAM": os.environ.get("BENCH_STREAM", "0"),
+            # the serving tier is single-process by design — it carries
+            # no executor-scaling signal, only wall time at the N level
+            "BENCH_SERVE_LOCAL": os.environ.get("BENCH_SERVE_LOCAL", "0"),
         }
     )
     spark_submit = shutil.which("spark-submit") or os.path.join(
