@@ -2307,3 +2307,14 @@ ORDER BY query_id, doc_id
 """
 
 QUERIES["batch_search"] = (q_batch_search, SQL_BATCH_SEARCH)
+
+# serving tier (serving/local.py): a REAL persisted index built over the
+# documents table, queried through the pyarrow reader (no Spark job),
+# hash-compared against the SAME oracles as the declarative twins above
+from .serving_queries import (  # noqa: E402
+    q_serve_tier_bm25,
+    q_serve_tier_search,
+)
+
+QUERIES["serve_tier_search"] = (q_serve_tier_search, SQL_CONJUNCTIVE_SEARCH)
+QUERIES["serve_tier_bm25"] = (q_serve_tier_bm25, SQL_BM25_TOPK)

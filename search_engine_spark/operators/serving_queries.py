@@ -1,0 +1,109 @@
+"""Driver-checkable twins for the serving tier (serving/local.py).
+
+Each entry builds a REAL persisted index over the driver's ``documents``
+table (Spark build, cached per sf_dir), serves the query through
+:class:`..serving.local.LocalIndexReader` — pyarrow reads, no Spark job
+in the query path — and returns the rows as a DataFrame so the driver
+can hash-compare them against the SAME ANSI-SQL oracles the index-free
+declarative twins use (SQL_CONJUNCTIVE_SEARCH / SQL_BM25_TOPK in
+corpus_queries.py). This puts the serving tier itself, not just the
+Spark paths it mirrors, behind the DuckDB correctness gate.
+
+Corpus mapping: url = the documents table's doc_id (stringified,
+unique), title = '' (tokens then equal the text's tokens), ordered by
+doc_id so the dense index ids 1..n enumerate documents in doc_id order;
+results map back through the url column.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+
+# one persisted index per sf_dir per process — the build is the setup
+# cost, every entry after the first reuses it (same lifecycle as the
+# bench's index_dir)
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _serve_index(spark: SparkSession, sf_dir: str) -> str:
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    from .index_build import build_index
+
+    idx = tempfile.mkdtemp(prefix="serve_tier_idx_")
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("").alias("title"),
+        "text",
+        "doc_id",
+    )
+    build_index(
+        spark, corpus, idx, config=EngineConfig(),
+        order_cols=("doc_id",), segments=2,
+    )
+    _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _url_map(idx: str) -> dict:
+    """index doc_id → original documents doc_id (via the url column),
+    read without Spark like any serving-node lookup table."""
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(f"{idx}/docs", format="parquet", partitioning="hive").to_table(
+        columns=["doc_id", "url"]
+    )
+    return {
+        int(d): int(u)
+        for d, u in zip(t["doc_id"].to_pylist(), t["url"].to_pylist())
+    }
+
+
+def q_serve_tier_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-tier conjunctive candidates ≡ SQL_CONJUNCTIVE_SEARCH: first
+    100 docs (doc_id asc) containing every CONJ_TERM, answered by the
+    parity search path (score 0.0 under no weights → doc_id order)."""
+    from ..serving import LocalIndexReader
+    from .corpus_queries import CONJ_TERMS
+
+    idx = _serve_index(spark, sf_dir)
+    reader = LocalIndexReader(idx)
+    pdf = reader.search(" ".join(CONJ_TERMS), max_count=100)
+    url_of = _url_map(idx)
+    ids = sorted(url_of[int(d)] for d in pdf["doc_id"])
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def q_serve_tier_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-tier BM25 ≡ SQL_BM25_TOPK: disjunctive top-100 over
+    CONJ_TERMS. Ranked over the FULL match set, then rounded to 6
+    decimals (half-up, like F.round/duckdb round) and re-sorted on the
+    rounded score so boundary ties resolve exactly like the oracle's
+    ORDER BY round(...) DESC, doc_id ASC."""
+    import math
+
+    from ..serving import LocalIndexReader
+    from .corpus_queries import CONJ_TERMS
+
+    idx = _serve_index(spark, sf_dir)
+    reader = LocalIndexReader(idx)
+    pdf = reader.search_bm25(" ".join(CONJ_TERMS), k=1 << 62)
+    url_of = _url_map(idx)
+    rows = [
+        (
+            url_of[int(r.doc_id)],
+            math.floor(float(r.score) * 1e6 + 0.5) / 1e6,
+            int(r.n_terms),
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows[:100], "doc_id long, score double, n_terms long"
+    )

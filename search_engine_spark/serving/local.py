@@ -72,6 +72,26 @@ BM25_RESULT_COLUMNS = [
 # serving memory to O(cache_terms × positions of one term's shard)
 POSITIONS_CACHE_TERMS = 1024
 
+# dense per-doc score accumulator cap for BM25: below this doc-id span a
+# float64 scatter-add array (8 bytes/doc) beats sorting the concatenated
+# posting ids; above it (or with sparse ids beyond 4× n_docs) the
+# sort-based merge path runs — at fleet scale a shard never owns a dense
+# doc space, so the merge path is the 100 TB shape
+DENSE_SCORE_MAX_DOCS = 50_000_000
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two ASCENDING unique arrays without re-sorting
+    (np.intersect1d sorts the concatenation — O((m+n)log(m+n)); this is
+    O(m log n) with m the smaller side)."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0 or len(b) == 0:
+        return a[:0]
+    idx = np.searchsorted(b, a)
+    np.clip(idx, 0, len(b) - 1, out=idx)
+    return a[b[idx] == a]
+
 
 def _group_runs(tbl: pa.Table) -> tuple[dict, np.ndarray, list[np.ndarray]]:
     """(term → (start, end)) run offsets over a (term, …)-sorted table,
@@ -241,10 +261,12 @@ class LocalIndexReader:
             for t, (s, e) in runs.items()
         }
 
-    def _positions(self, term: str) -> tuple[np.ndarray, list]:
-        """(doc_ids asc, positions lists) for one term from
+    def _positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids asc, flat_doc, flat_pos) for one term from
         term_positions (stop words INCLUDED — quoted stop words need
-        them, B6), LRU-cached per term."""
+        them, B6), LRU-cached per term. ``flat_doc``/``flat_pos`` are
+        the per-occurrence (doc_id, position) pairs in (doc, pos) order
+        — the columnar layout the vectorized adjacency works on."""
         hit = self._pos_cache.get(term)
         if hit is not None:
             self._pos_cache.move_to_end(term)
@@ -255,21 +277,29 @@ class LocalIndexReader:
         )
         tbl = self._mask_tombstones(tbl)
         tbl = tbl.sort_by("doc_id").combine_chunks()
-        entry = (
-            tbl["doc_id"].to_numpy(zero_copy_only=False),
-            tbl["positions"].to_pylist(),
-        )
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        plist = tbl["positions"]
+        if isinstance(plist, pa.ChunkedArray):
+            plist = (
+                plist.combine_chunks() if plist.num_chunks != 1
+                else plist.chunk(0)
+            )
+        if tbl.num_rows:
+            counts = pc.list_value_length(plist).to_numpy(
+                zero_copy_only=False
+            ).astype("int64")
+            flat_doc = np.repeat(ids, counts)
+            flat_pos = plist.flatten().to_numpy(
+                zero_copy_only=False
+            ).astype("int64")
+        else:
+            flat_doc = np.empty(0, dtype="int64")
+            flat_pos = np.empty(0, dtype="int64")
+        entry = (ids, flat_doc, flat_pos)
         self._pos_cache[term] = entry
         while len(self._pos_cache) > POSITIONS_CACHE_TERMS:
             self._pos_cache.popitem(last=False)
         return entry
-
-    def _positions_for(self, term: str, doc_id: int) -> Optional[list]:
-        ids, lists = self._positions(term)
-        i = int(np.searchsorted(ids, doc_id))
-        if i < len(ids) and ids[i] == doc_id:
-            return lists[i]
-        return None
 
     # -- Q16 -------------------------------------------------------------------
 
@@ -337,13 +367,7 @@ class LocalIndexReader:
         ids = self._apply_allowed(ids, allowed)
         if quotes:
             pairs, _ = _quote_pairs(words, quotes)
-            out: list[int] = []
-            for doc in ids:
-                if any(self._adjacent(int(doc), qw) for qw in pairs):
-                    out.append(int(doc))
-                    if len(out) == INTERSECT_CAP:
-                        break
-            return np.asarray(out, dtype="int64")
+            ids = _intersect_sorted(ids, self._quote_match_docs(pairs))
         return ids[:INTERSECT_CAP]
 
     @staticmethod
@@ -363,35 +387,54 @@ class LocalIndexReader:
         return ids[np.isin(ids, allowed, assume_unique=False)]
 
     def _membership(self, terms: Sequence[str]) -> np.ndarray:
-        """Docs containing EVERY term: fold of sorted-unique intersections
-        over the per-term posting id arrays (each unique per term by
-        build-time dedup, B5)."""
+        """Docs containing EVERY term: fold of merge-based intersections
+        over the per-term posting id arrays (each ascending-unique by
+        build-time dedup, B5), smallest list first so each step is
+        O(m log n) in the running intersection size m."""
         arrays = self._term_arrays(terms)
         if len(arrays) < len(terms):
             return np.empty(0, dtype="int64")
-        ids: Optional[np.ndarray] = None
-        for t in terms:
-            cur = arrays[t][0]
-            ids = cur if ids is None else np.intersect1d(
-                ids, cur, assume_unique=True
-            )
+        per = sorted((arrays[t][0] for t in terms), key=len)
+        ids = per[0]
+        for cur in per[1:]:
+            ids = _intersect_sorted(ids, cur)
             if len(ids) == 0:
                 break
-        return ids if ids is not None else np.empty(0, dtype="int64")
+        return ids
 
-    def _adjacent(self, doc_id: int, quoted_words: Sequence[str]) -> bool:
-        """Quoted-adjacency predicate ≡ search._adjacency_expr: positions
-        of word j shifted by -j, set-intersected; missing terms are empty
-        lists (coalesce)."""
-        if not quoted_words:
-            return False
-        shifted: list[set] = []
-        for j, w in enumerate(quoted_words):
-            pos = self._positions_for(w.lower(), doc_id) or []
-            shifted.append({p - j for p in pos})
-            if not shifted[-1]:
-                return False
-        return bool(set.intersection(*shifted))
+    def _quote_match_docs(self, pairs: Sequence[Sequence[str]]) -> np.ndarray:
+        """Docs where ANY quoted word sequence occurs adjacently —
+        vectorized ≡ of search._adjacency_expr: quoted word j's
+        occurrences become keys ``doc*span + (pos - j)``; a doc contains
+        the phrase iff all k key arrays share a key. One sorted-array
+        intersection per quoted word, over the quoted terms' position
+        slivers only — replaces a per-candidate Python loop, whose cost
+        on a never-matching phrase would be O(|membership|)."""
+        matched: list[np.ndarray] = []
+        for qw in pairs:
+            if not qw:
+                continue
+            entries = [self._positions(w.lower()) for w in qw]
+            if any(len(e[1]) == 0 for e in entries):
+                continue
+            # span > max_pos + shift keeps keys unique per (doc, pos)
+            # and ascending across docs
+            span = 2 + len(qw) + max(int(e[2].max()) for e in entries)
+            folded: Optional[np.ndarray] = None
+            for j, (_, flat_doc, flat_pos) in enumerate(entries):
+                keys = flat_doc * span + (flat_pos - j)
+                folded = (
+                    keys if folded is None
+                    else _intersect_sorted(folded, keys)
+                )
+                if len(folded) == 0:
+                    break
+            if folded is not None and len(folded):
+                # folded ⊆ the j=0 keys, so pos ≥ 0 and // is exact
+                matched.append(np.unique(folded // span))
+        if not matched:
+            return np.empty(0, dtype="int64")
+        return np.unique(np.concatenate(matched))
 
     def _fetch(self, ids: np.ndarray) -> list[tuple]:
         """(doc_id, title, url, words) for a bounded id set — pinned-docs
@@ -471,11 +514,29 @@ class LocalIndexReader:
             sc_chunks.append(sc)
         if not id_chunks:
             return pd.DataFrame(columns=empty_cols)
-        all_ids = np.concatenate(id_chunks)
-        all_sc = np.concatenate(sc_chunks)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        scores = np.bincount(inv, weights=all_sc, minlength=len(uniq))
-        counts = np.bincount(inv, minlength=len(uniq))
+        max_id = max(int(ids[-1]) for ids in id_chunks)  # each asc
+        if max_id <= max(4 * int(n), DENSE_SCORE_MAX_DOCS // 8) and \
+                max_id <= DENSE_SCORE_MAX_DOCS:
+            # dense scatter-add over the doc-id span: per-term ids are
+            # unique, so `acc[ids] += sc` is one vectorized pass per
+            # term, added in sorted-term chunk order — the same fold
+            # order as the merge path and the Spark aggregate
+            acc = np.zeros(max_id + 1)
+            cnt = np.zeros(max_id + 1, dtype="int64")
+            for ids, sc in zip(id_chunks, sc_chunks):
+                acc[ids] += sc
+                cnt[ids] += 1
+            uniq = np.flatnonzero(cnt)
+            scores = acc[uniq]
+            counts = cnt[uniq]
+        else:
+            # sparse doc ids (a fleet shard's slice of a 10^12-doc
+            # space): sort-based merge, no dense allocation
+            all_ids = np.concatenate(id_chunks)
+            all_sc = np.concatenate(sc_chunks)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            scores = np.bincount(inv, weights=all_sc, minlength=len(uniq))
+            counts = np.bincount(inv, minlength=len(uniq))
         keep = np.ones(len(uniq), dtype=bool)
         if conjunctive:
             keep &= counts == len(terms)
