@@ -198,6 +198,33 @@ def run(master: str | None = None, sf_dir: str | None = None,
         for name, st in serve_stats["pinned"].items():
             timings[f"serve_{name}"] = round(st["p50_ms"] / 1000, 4)
 
+        # reference-scale point: the reference's published latencies
+        # (BASELINE.md: 3.85 ms 2-word AND, 6.18 ms phrase+word) are at
+        # 50k docs — build a 50k-turn index (replicate=10) and measure
+        # the serve tier at EQUAL corpus size so the parity ratio is
+        # apples-to-apples, not 160k-vs-50k
+        if os.environ.get("BENCH_REF_POINT", "1") == "1":
+            ref_dir = tempfile.mkdtemp(prefix="bench_ref50k_")
+            shutil.rmtree(ref_dir, ignore_errors=True)
+            ref_tx = synthesize_transcripts(
+                spark, f"{sf_dir}/documents.parquet", replicate=10
+            )
+            ref_res = build_index(
+                spark, corpus_from_transcripts(ref_tx), ref_dir,
+                config=cfg, segments=segments,
+            )
+            ref_reader = LocalIndexReader(ref_dir, config=cfg, pin_docs=True)
+            serve_stats["ref_scale"] = {
+                "n_turns": ref_res.n_docs,
+                **_serve_lat(ref_reader),
+            }
+            for name, st in serve_stats["ref_scale"].items():
+                if isinstance(st, dict):
+                    timings[f"serve50k_{name}"] = round(
+                        st["p50_ms"] / 1000, 4
+                    )
+            shutil.rmtree(ref_dir, ignore_errors=True)
+
     # batch serving throughput: N queries fused into ONE plan
     # (operators/batch.py) — the 100 TB serving shape, where the Spark
     # job floor amortizes across the in-flight query set. Reported as
@@ -523,6 +550,13 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
             },
             "open_sec": sv["open_sec"],
         }
+        rs = sv.get("ref_scale")
+        if rs:
+            summary["detail"]["serve_local_ms"]["ref_scale_p50"] = {
+                q: v["p50_ms"]
+                for q, v in rs.items()
+                if isinstance(v, dict)
+            }
     s = d.get("stream_serving")
     if s:
         summary["detail"]["stream"] = {
