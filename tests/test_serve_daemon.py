@@ -41,7 +41,7 @@ def test_daemon_batches_and_answers(planets_index):
         planets_index,
         ["jupiter", "", "saturn giant", "nosuchterm"],  # blank line skipped
     )
-    assert msgs[0] == {"type": "ready", "docs": 2}
+    assert msgs[0] == {"type": "ready", "docs": 2, "tier": "spark"}
     results = [m for m in msgs if m["type"] == "result"]
     stats = [m for m in msgs if m["type"] == "batch_stats"]
     # the piped burst was pending before the first drain -> ONE batch
@@ -69,6 +69,39 @@ def test_daemon_batches_and_answers(planets_index):
 
 def test_daemon_bm25_mode(planets_index):
     msgs = run_daemon(planets_index, ["jupiter planet"], ("--bm25",))
+    res = [m for m in msgs if m["type"] == "result"]
+    assert len(res) == 1 and res[0]["n_hits"] == 2
+    scores = [h["score"] for h in res[0]["hits"]]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+
+def test_daemon_local_tier(planets_index):
+    """--tier local serves through LocalIndexReader (no Spark session):
+    same protocol, same hits as the spark tier on the same queries."""
+    msgs = run_daemon(
+        planets_index,
+        ["jupiter", "saturn giant", "nosuchterm"],
+        ("--tier", "local"),
+    )
+    assert msgs[0] == {"type": "ready", "docs": 2, "tier": "local"}
+    by_query = {m["query"]: m for m in msgs if m["type"] == "result"}
+    assert {h["url"] for h in by_query["jupiter"]["hits"]} == {
+        "https://en.wikipedia.org/wiki/Jupiter",
+        "https://en.wikipedia.org/wiki/Saturn",
+    }
+    assert [h["url"] for h in by_query["saturn giant"]["hits"]] == [
+        "https://en.wikipedia.org/wiki/Saturn"
+    ]
+    assert by_query["nosuchterm"]["n_hits"] == 0
+    assert all(h["introduction"] for h in by_query["jupiter"]["hits"])
+    stats = [m for m in msgs if m["type"] == "batch_stats"]
+    assert sum(s["n_queries"] for s in stats) == 3
+
+
+def test_daemon_local_tier_bm25(planets_index):
+    msgs = run_daemon(
+        planets_index, ["jupiter planet"], ("--tier", "local", "--bm25")
+    )
     res = [m for m in msgs if m["type"] == "result"]
     assert len(res) == 1 and res[0]["n_hits"] == 2
     scores = [h["score"] for h in res[0]["hits"]]

@@ -30,9 +30,18 @@ ONE fused plan (operators/batch.py), so a burst of B queries pays
 over single-probe latency. A lone query ships after the linger with no
 artificial batching delay beyond it.
 
+Tiers (--tier):
+  spark (default)  warm Spark engine, micro-batched fused plans — the
+                   throughput tier (amortized ms/query).
+  local            serving/local.py `LocalIndexReader`: no Spark, no
+                   JVM — single-probe answers in ~3-20 ms each (the
+                   latency tier; batching is irrelevant, each query is
+                   served as it arrives within the drained batch).
+
 Usage:
     python tools/serve_daemon.py <index_dir> [--bm25] [--k 10]
         [--max-batch 256] [--linger-ms 50] [--master local[N]]
+        [--tier spark|local]
 """
 
 from __future__ import annotations
@@ -97,6 +106,27 @@ def serve_batch(engine, texts, k: int, bm25: bool) -> dict:
     return hits
 
 
+def serve_batch_local(reader, texts, k: int, bm25: bool) -> dict:
+    """Per-probe serving through the in-process reader (each query is
+    already ~ms — no fused plan needed or possible without Spark)."""
+    hits: dict[int, list] = {}
+    for i, text in enumerate(texts):
+        if bm25:
+            pdf = reader.search_bm25(text, k=k, with_results=True)
+            cols = ("title", "url", "introduction", "score")
+        else:
+            pdf = reader.search(text, max_count=k)
+            cols = ("title", "url", "introduction")
+        hits[i] = [
+            {
+                c: (float(row[c]) if c == "score" else row[c])
+                for c in cols
+            }
+            for row in pdf.to_dict("records")
+        ]
+    return hits
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("index_dir")
@@ -106,15 +136,26 @@ def main() -> None:
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--linger-ms", type=float, default=50.0)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--tier", choices=("spark", "local"), default="spark")
     args = ap.parse_args()
 
-    spark = get_spark(master=args.master)
     cfg = EngineConfig(stop_words=DEMO_STOP_WORDS,
                        score_weights=ScoreWeights())
-    engine = SearchEngine(spark, args.index_dir, config=cfg)
-    engine = engine.warm().serve_mode()
+    if args.tier == "local":
+        from search_engine_spark.serving import LocalIndexReader
+
+        engine = None
+        reader = LocalIndexReader(args.index_dir, config=cfg,
+                                  pin_docs=True)
+        n_docs = reader.count()
+    else:
+        spark = get_spark(master=args.master)
+        engine = SearchEngine(spark, args.index_dir, config=cfg)
+        engine = engine.warm().serve_mode()
+        n_docs = engine.count()
     out = sys.stdout
-    print(json.dumps({"type": "ready", "docs": engine.count()}), flush=True)
+    print(json.dumps({"type": "ready", "docs": n_docs,
+                      "tier": args.tier}), flush=True)
 
     q: "queue.Queue" = queue.Queue()
     threading.Thread(target=_reader, args=(q,), daemon=True).start()
@@ -124,7 +165,10 @@ def main() -> None:
         texts, eof = drain_batch(q, args.max_batch, args.linger_ms / 1000.0)
         if texts:
             t0 = time.time()
-            hits = serve_batch(engine, texts, args.k, args.bm25)
+            if args.tier == "local":
+                hits = serve_batch_local(reader, texts, args.k, args.bm25)
+            else:
+                hits = serve_batch(engine, texts, args.k, args.bm25)
             wall_ms = 1000.0 * (time.time() - t0)
             for i, text in enumerate(texts):
                 out.write(json.dumps({
