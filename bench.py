@@ -160,6 +160,10 @@ def run(master: str | None = None, sf_dir: str | None = None,
             "bm25_conjunctive": lambda r: r.search_bm25(
                 "filter join window", k=10, conjunctive=True
             ),
+            # Block-Max WAND: answers from pruned BLOCK reads (never the
+            # pinned posting arrays), so its latency is the cold-mode
+            # (beyond-node-RAM) serving shape in every reader mode
+            "wand_topk": lambda r: r.wand_topk("filter join window", k=10),
         }
         serve_reps = int(os.environ.get("BENCH_SERVE_REPS", "20"))
 
@@ -188,12 +192,15 @@ def run(master: str | None = None, sf_dir: str | None = None,
         pinned_reader = LocalIndexReader(index_dir, config=cfg, pin_docs=True)
         serve_open_sec = time.time() - t_open
         timings["serve_local_open"] = round(serve_open_sec, 3)
+        cold_reader = LocalIndexReader(index_dir, config=cfg, pin_docs=False)
         serve_stats = {
             "open_sec": round(serve_open_sec, 3),
             "pinned": _serve_lat(pinned_reader),
-            "cold_docs": _serve_lat(
-                LocalIndexReader(index_dir, config=cfg, pin_docs=False)
-            ),
+            "cold_docs": _serve_lat(cold_reader),
+            # pruning diagnostics of the last wand_topk above (uniform
+            # headline corpus — the skewed-vocabulary pruning evidence is
+            # tools/wand_zipf_bench.py's serve_tier section)
+            "wand_stats": dict(cold_reader.last_wand_stats),
         }
         for name, st in serve_stats["pinned"].items():
             timings[f"serve_{name}"] = round(st["p50_ms"] / 1000, 4)

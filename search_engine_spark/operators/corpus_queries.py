@@ -2314,7 +2314,9 @@ QUERIES["batch_search"] = (q_batch_search, SQL_BATCH_SEARCH)
 from .serving_queries import (  # noqa: E402
     q_serve_tier_bm25,
     q_serve_tier_search,
+    q_serve_tier_wand,
 )
 
 QUERIES["serve_tier_search"] = (q_serve_tier_search, SQL_CONJUNCTIVE_SEARCH)
 QUERIES["serve_tier_bm25"] = (q_serve_tier_bm25, SQL_BM25_TOPK)
+QUERIES["serve_tier_wand"] = (q_serve_tier_wand, SQL_BM25_TOPK)

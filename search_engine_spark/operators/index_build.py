@@ -277,7 +277,7 @@ def build_index(
             ("postings/seg=0", "term string, doc_id long, tf int, dl long"),
             ("blocks/seg=0", "term string, first_doc long, max_doc long, n int, "
                              "doc_deltas array<long>, tfs array<int>, "
-                             "block_max_partial double"),
+                             "dls array<long>, block_max_partial double"),
             ("term_stats", "term string, df long, max_tf int"),
         ]:
             spark.createDataFrame([], schema).write.mode("overwrite").option("compression", config.parquet_codec).parquet(
@@ -444,10 +444,15 @@ def build_blocks(
 
     Layout: one row per (term, first_doc) block —
       term, first_doc, max_doc, n, doc_deltas:array<long>, tfs:array<int>,
-      block_max_partial:double
+      dls:array<long>, block_max_partial:double
     where ``block_max_partial = max(tf / (tf + k1*(1-b+b*dl/avgdl)))`` so a
     query-time upper bound is ``idf * (k1+1) * block_max_partial`` (idf is
-    corpus-global, known at query time).
+    corpus-global, known at query time). ``dls`` carries the raw per-posting
+    doc lengths (not a baked partial) so exact rescoring from blocks alone
+    — the serving tier's cold-mode WAND — stays correct when ``avgdl``
+    moves under incremental ingest: the score is recomputed against the
+    CURRENT corpus stats at read time, identical to the postings-table
+    path.
 
     Blocks are cut per partition-local (term, doc_id)-sorted run via
     mapInPandas — no per-term groupBy, so head-term skew never concentrates
@@ -467,7 +472,8 @@ def build_blocks(
 
     schema = (
         "term string, first_doc long, max_doc long, n int, "
-        "doc_deltas array<long>, tfs array<int>, block_max_partial double"
+        "doc_deltas array<long>, tfs array<int>, dls array<long>, "
+        "block_max_partial double"
     )
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -505,8 +511,10 @@ def _cut_runs(pdf: pd.DataFrame, block: int, k1: float, b: float,
     dls = pdf["dl"].to_numpy(dtype="float64")
     partial = (tfs / (tfs + k1 * (1 - b + b * dls / max(avgdl, 1e-9)))) if len(pdf) else np.array([])
 
+    dls_i = pdf["dl"].to_numpy(dtype="int64")
     rows = {"term": [], "first_doc": [], "max_doc": [], "n": [],
-            "doc_deltas": [], "tfs": [], "block_max_partial": []}
+            "doc_deltas": [], "tfs": [], "dls": [],
+            "block_max_partial": []}
     start = 0
     n = len(pdf)
     while start < n:
@@ -525,6 +533,7 @@ def _cut_runs(pdf: pd.DataFrame, block: int, k1: float, b: float,
             rows["n"].append(e - s)
             rows["doc_deltas"].append(deltas.tolist())
             rows["tfs"].append(tfs[s:e].astype("int32").tolist())
+            rows["dls"].append(dls_i[s:e].tolist())
             rows["block_max_partial"].append(float(partial[s:e].max()))
         start = end
     return pd.DataFrame(rows)

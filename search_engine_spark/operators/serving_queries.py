@@ -80,6 +80,39 @@ def q_serve_tier_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(i,) for i in ids], "doc_id long")
 
 
+def q_serve_tier_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-tier Block-Max WAND ≡ SQL_BM25_TOPK — the COLD reader
+    (pin_postings=False) answering through block-metadata pruning +
+    candidate-bounded exact rescoring (serving/local.py wand_topk), hashed
+    against the SAME exhaustive-BM25 oracle as q_serve_tier_bm25. k=∞
+    (θ=0, no block pruned) so boundary ties resolve exactly like the
+    oracle's ORDER BY round(...) — the driver thus gates the WAND
+    decode/rescore/fold path; the θ>0 PRUNING losslessness is gated by
+    tests/test_serving_wand.py and evidenced in the bench's serve-tier
+    wand point."""
+    import math
+
+    from ..serving import LocalIndexReader
+    from .corpus_queries import CONJ_TERMS
+
+    idx = _serve_index(spark, sf_dir)
+    reader = LocalIndexReader(idx, pin_postings=False)
+    pdf = reader.wand_topk(" ".join(CONJ_TERMS), k=1 << 62)
+    url_of = _url_map(idx)
+    rows = [
+        (
+            url_of[int(r.doc_id)],
+            math.floor(float(r.score) * 1e6 + 0.5) / 1e6,
+            int(r.n_terms),
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows[:100], "doc_id long, score double, n_terms long"
+    )
+
+
 def q_serve_tier_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve-tier BM25 ≡ SQL_BM25_TOPK: disjunctive top-100 over
     CONJ_TERMS. Ranked over the FULL match set, then rounded to 6

@@ -72,6 +72,14 @@ BM25_RESULT_COLUMNS = [
 # serving memory to O(cache_terms × positions of one term's shard)
 POSITIONS_CACHE_TERMS = 1024
 
+# WAND caches: block METADATA per term (first_doc/max_doc/bmax — a few
+# numbers per block, df/block_size rows per term) and DECODED block
+# postings per (term, first_doc) key (≤ block_size postings each, so the
+# cache is ≤ BLOCK_CACHE_BLOCKS × block_size × 24 B ≈ tens of MB) — a
+# serving node's working set, never the index
+BLOCK_META_CACHE_TERMS = 512
+BLOCK_CACHE_BLOCKS = 4096
+
 # dense per-doc score accumulator cap for BM25: below this doc-id span a
 # float64 scatter-add array (8 bytes/doc) beats sorting the concatenated
 # posting ids; above it (or with sparse ids beyond 4× n_docs) the
@@ -157,12 +165,18 @@ class LocalIndexReader:
             os.path.join(index_dir, "postings"),
             format="parquet", partitioning="hive",
         )
+        self._blk_ds = ds.dataset(
+            os.path.join(index_dir, "blocks"),
+            format="parquet", partitioning="hive",
+        )
         self._tombstones = self._load_tombstones()
         self._df_map = self._load_term_stats()
         self._runs: Optional[dict] = None
         if pin_postings:
             self._pin_postings()
         self._pos_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._blk_meta_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._blk_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._docs_pin: Optional[tuple] = None
         if pin_docs:
             self._pin_docs()
@@ -575,3 +589,391 @@ class LocalIndexReader:
                 construct_introduction(words, quotes, pwords), url,
             ))
         return pd.DataFrame(rows, columns=BM25_RESULT_COLUMNS)
+
+    # -- Block-Max WAND (cold-mode scale path) ---------------------------------
+
+    def _mask_dead(self, ids: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask dropping tombstoned doc ids (tombstones are
+        sorted unique, so membership is one searchsorted pass)."""
+        if len(self._tombstones) == 0 or len(ids) == 0:
+            return np.ones(len(ids), dtype=bool)
+        pos = np.searchsorted(self._tombstones, ids)
+        np.clip(pos, 0, len(self._tombstones) - 1, out=pos)
+        return self._tombstones[pos] != ids
+
+    def _read_block_postings(self, keys: set) -> dict:
+        """Decode the blocks named by ``keys`` (a set of
+        ``(term, first_doc)`` pairs) into ``term -> (doc_ids, tfs, dls)``
+        numpy arrays. Decoded blocks live in a bounded LRU (a serving
+        node's warm working set); misses are fetched in ONE pruned
+        parquet read for all missing blocks (term + first_doc filters
+        hit the row-group stats of the (term, doc_id)-sorted layout);
+        per-block delta decode is a vectorized cumsum, ids within a term
+        are unique across blocks (a doc lives in exactly one build
+        segment)."""
+        if not keys:
+            return {}
+        miss = [kk for kk in keys if kk not in self._blk_cache]
+        if miss:
+            tbl = self._blk_ds.to_table(
+                filter=(
+                    pc.field("term").isin(sorted({t for t, _ in miss}))
+                    & pc.field("first_doc").isin(
+                        sorted({f for _, f in miss})
+                    )
+                ),
+                columns=["term", "first_doc", "doc_deltas", "tfs", "dls"],
+            )
+            miss_set = set(miss)
+            terms_col = tbl["term"].to_pylist()
+            firsts = tbl["first_doc"].to_numpy(zero_copy_only=False)
+            deltas_col = tbl["doc_deltas"]
+            tfs_col = tbl["tfs"]
+            dls_col = tbl["dls"]
+            for i, (t, fd) in enumerate(zip(terms_col, firsts)):
+                kk = (t, int(fd))
+                if kk not in miss_set:  # isin over-selects cross pairs
+                    continue
+                d = np.asarray(deltas_col[i].as_py(), dtype="int64")
+                self._blk_cache[kk] = (
+                    int(fd) + np.cumsum(d),
+                    np.asarray(tfs_col[i].as_py(), dtype="float64"),
+                    np.asarray(dls_col[i].as_py(), dtype="float64"),
+                )
+        out: dict[str, list] = {}
+        for kk in sorted(keys):
+            hit = self._blk_cache.get(kk)
+            if hit is None:
+                continue  # key names a block that doesn't exist
+            self._blk_cache.move_to_end(kk)
+            out.setdefault(kk[0], []).append(hit)
+        while len(self._blk_cache) > BLOCK_CACHE_BLOCKS:
+            self._blk_cache.popitem(last=False)
+        return {
+            t: tuple(np.concatenate(cols) for cols in zip(*chunks))
+            for t, chunks in out.items()
+        }
+
+    def _block_meta(self, terms: Sequence[str]) -> tuple:
+        """Per-block metadata (term list, first_doc, max_doc,
+        block_max_partial arrays) for the given terms, through a bounded
+        per-term LRU — the metadata is a few numbers per block, so a
+        term's entry is df/block_size rows, read WITHOUT the array
+        columns."""
+        missing = [t for t in terms if t not in self._blk_meta_cache]
+        if missing:
+            meta = self._blk_ds.to_table(
+                filter=pc.field("term").isin(sorted(missing)),
+                columns=[
+                    "term", "first_doc", "max_doc", "block_max_partial"
+                ],
+            )
+            tarr = np.asarray(meta["term"].to_pylist(), dtype=object)
+            first = meta["first_doc"].to_numpy(zero_copy_only=False)
+            mx = meta["max_doc"].to_numpy(zero_copy_only=False)
+            bmp = meta["block_max_partial"].to_numpy(zero_copy_only=False)
+            for t in missing:
+                m = tarr == t
+                self._blk_meta_cache[t] = (first[m], mx[m], bmp[m])
+        m_terms: list[str] = []
+        chunks = []
+        for t in terms:
+            entry = self._blk_meta_cache[t]
+            self._blk_meta_cache.move_to_end(t)
+            m_terms.extend([t] * len(entry[0]))
+            chunks.append(entry)
+        while len(self._blk_meta_cache) > BLOCK_META_CACHE_TERMS:
+            self._blk_meta_cache.popitem(last=False)
+        return (
+            m_terms,
+            np.concatenate([c[0] for c in chunks]),
+            np.concatenate([c[1] for c in chunks]),
+            np.concatenate([c[2] for c in chunks]),
+        )
+
+    def wand_topk(
+        self,
+        text: str,
+        k: int = 10,
+        conjunctive: bool = False,
+        allowed_ids: Optional[Iterable[int]] = None,
+        with_results: bool = False,
+        seed_blocks: int = 4,
+    ) -> pd.DataFrame:
+        """Block-Max WAND top-k ≡ :meth:`search_bm25` (rank- and
+        score-identical, pytest-gated) that reads only the posting BLOCKS
+        that can matter instead of the query terms' full posting lists —
+        the cold-mode (beyond-node-RAM) serving shape at 10^12 turns,
+        where a head term's sliver is GBs but its surviving blocks are
+        KBs. Same bound algebra as the Spark path (operators/wand.py,
+        Ding & Suel SIGIR'11):
+
+        1. read per-block METADATA only (term, first_doc, max_doc,
+           block_max_partial — no array columns) for the query terms;
+        2. θ seed: decode each term's top ``seed_blocks`` blocks by block
+           upper bound, fold exact contributions per doc; the k-th best
+           PARTIAL sum is a valid lower bound of the k-th best total
+           (partial ≤ total pointwise), filter-aware: seeds are masked by
+           ``allowed_ids``/tombstones first, and under ``conjunctive``
+           only docs seen with ALL terms in the seed may set θ;
+        3. prune: a block of term t survives iff
+           ``ub_block + Σ_{t'≠t} max_ub(t') ≥ θ``;
+        4. candidates = docs decoded from surviving blocks; exact
+           rescoring additionally decodes each term's blocks whose
+           [first_doc, max_doc] range intersects the candidates, then
+           folds the SAME expression in the SAME sorted-term order as
+           :meth:`search_bm25` — blocks carry raw (tf, dl), so the score
+           is computed against CURRENT corpus stats, not baked ones.
+
+        Diagnostics land in ``self.last_wand_stats`` (blocks_total /
+        surviving / read / candidates / theta) — the bench's evidence
+        that pruning holds at serve time.
+        """
+        if "dls" not in self._blk_ds.schema.names:
+            raise ValueError(
+                "index blocks lack the dls column (built before the "
+                "self-contained block format) — rebuild or compact the "
+                "index to serve WAND from blocks"
+            )
+        words, quotes = tokenize(text)
+        terms = sorted({
+            w.lower()
+            for w in words
+            if not is_stop_word(w, self.config.stop_words)
+        })
+        empty_cols = BM25_RESULT_COLUMNS if with_results else BM25_COLUMNS
+        empty = pd.DataFrame(columns=empty_cols)
+        self.last_wand_stats = {
+            "terms": 0, "blocks_total": 0, "surviving_blocks": 0,
+            "global_surviving_blocks": 0, "blocks_read": 0,
+            "candidates": 0, "theta": 0.0,
+        }
+        if not terms:
+            return empty
+        k1, b = self.config.bm25_k1, self.config.bm25_b
+        n = float(self.corpus_stats["n_docs"])
+        avgdl = float(self.corpus_stats["avgdl"]) or 1.0
+        idf = {
+            t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+            for t in terms
+            if (d := self._df_map.get(t)) is not None
+        }
+        if not idf:
+            return empty
+        m_terms, m_first, m_max, m_bmp = self._block_meta(sorted(idf))
+        m_idf = np.fromiter(
+            (idf[t] for t in m_terms), dtype="float64", count=len(m_terms)
+        )
+        m_ub = m_idf * (k1 + 1.0) * m_bmp
+        if len(m_ub) == 0:
+            return empty
+        scorable = sorted({*m_terms})
+        if conjunctive and len(scorable) < len(terms):
+            return empty  # same as search_bm25: count can never reach
+        g_ub = {t: 0.0 for t in scorable}
+        for t, u in zip(m_terms, m_ub):
+            if u > g_ub[t]:
+                g_ub[t] = u
+        sum_ub = sum(g_ub.values())
+        allowed = self._as_id_array(allowed_ids)
+
+        def fold(arrays: dict, restrict: Optional[np.ndarray]):
+            """Per-doc (score, term-count) fold over term -> (ids,tf,dl),
+            summed in sorted-term order — bit-compatible with
+            search_bm25's chunk fold. ``restrict``: sorted candidate ids
+            to score (None = every decoded doc)."""
+            if restrict is None:
+                restrict = np.unique(np.concatenate(
+                    [a[0] for a in arrays.values()]
+                )) if arrays else np.empty(0, dtype="int64")
+            acc = np.zeros(len(restrict))
+            cnt = np.zeros(len(restrict), dtype="int64")
+            for t in sorted(arrays):
+                ids, tf, dl = arrays[t]
+                sc = idf[t] * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+                pos = np.searchsorted(restrict, ids)
+                np.clip(pos, 0, max(len(restrict) - 1, 0), out=pos)
+                hit = (
+                    restrict[pos] == ids
+                    if len(restrict) else np.zeros(len(ids), dtype=bool)
+                )
+                np.add.at(acc, pos[hit], sc[hit])
+                np.add.at(cnt, pos[hit], 1)
+            return restrict, acc, cnt
+
+        # -- θ seed (step 2) --------------------------------------------------
+        order = np.lexsort((m_first, -m_ub))
+        seed_keys: set = set()
+        taken: dict[str, int] = {}
+        for i in order:
+            t = m_terms[i]
+            if taken.get(t, 0) < seed_blocks:
+                seed_keys.add((t, int(m_first[i])))
+                taken[t] = taken.get(t, 0) + 1
+        seed_arrays = self._read_block_postings(seed_keys)
+        seed_arrays = self._filter_live(seed_arrays, allowed)
+        theta = 0.0
+        if seed_arrays:
+            _, s_acc, s_cnt = fold(seed_arrays, None)
+            elig = (
+                s_acc[s_cnt == len(terms)] if conjunctive else s_acc
+            )
+            if len(elig) >= k:
+                theta = float(np.partition(elig, -k)[-k])
+
+        # -- prune + candidate blocks (steps 3-4) -------------------------------
+        bound = m_ub + np.fromiter(
+            ((sum_ub - g_ub[t]) for t in m_terms),
+            dtype="float64", count=len(m_terms),
+        )
+        surv = bound >= theta if theta > 0.0 else np.ones(
+            len(m_ub), dtype=bool
+        )
+        global_surv = int(surv.sum())
+        if theta > 0.0 and len(scorable) > 1 and surv.any():
+            surv &= self._range_refine(
+                scorable, m_terms, m_first, m_max, m_ub, theta, surv
+            )
+        surv_keys = {
+            (m_terms[i], int(m_first[i])) for i in np.flatnonzero(surv)
+        }
+        surv_arrays = self._read_block_postings(surv_keys)
+        surv_arrays = self._filter_live(surv_arrays, allowed)
+        if not surv_arrays:
+            self.last_wand_stats.update(
+                terms=len(scorable), blocks_total=int(len(m_ub)),
+                surviving_blocks=int(surv.sum()),
+                global_surviving_blocks=global_surv,
+                blocks_read=len(seed_keys | surv_keys), theta=theta,
+            )
+            return empty
+        cand = np.unique(np.concatenate(
+            [a[0] for a in surv_arrays.values()]
+        ))
+        # exact rescoring needs every term's contribution for the
+        # candidates — pull in the candidate-overlapping blocks the
+        # bound pruned (range test via two searchsorted passes)
+        lo = np.searchsorted(cand, m_first, side="left")
+        hi = np.searchsorted(cand, m_max, side="right")
+        overlap = hi > lo
+        need_keys = {
+            (m_terms[i], int(m_first[i]))
+            for i in np.flatnonzero(overlap | surv)
+        }
+        extra = need_keys - surv_keys
+        if extra:
+            more = self._filter_live(
+                self._read_block_postings(extra), allowed
+            )
+            for t, (ids, tf, dl) in more.items():
+                if t in surv_arrays:
+                    p_ids, p_tf, p_dl = surv_arrays[t]
+                    surv_arrays[t] = (
+                        np.concatenate([p_ids, ids]),
+                        np.concatenate([p_tf, tf]),
+                        np.concatenate([p_dl, dl]),
+                    )
+                else:
+                    surv_arrays[t] = (ids, tf, dl)
+        cand, acc, cnt = fold(surv_arrays, cand)
+        keep = cnt > 0
+        if conjunctive:
+            keep &= cnt == len(terms)
+        cand, acc, cnt = cand[keep], acc[keep], cnt[keep]
+        self.last_wand_stats.update(
+            terms=len(scorable), blocks_total=int(len(m_ub)),
+            surviving_blocks=int(surv.sum()),
+            global_surviving_blocks=global_surv,
+            blocks_read=len(seed_keys | need_keys),
+            candidates=int(len(cand)), theta=theta,
+        )
+        top = np.lexsort((cand, -acc))[:k]
+        out = pd.DataFrame({
+            "doc_id": cand[top],
+            "score": acc[top],
+            "n_terms": cnt[top].astype("int64"),
+        })
+        if not with_results:
+            return out
+        fetched = {
+            doc: (title, url, pwords)
+            for doc, title, url, pwords in self._fetch(
+                out["doc_id"].to_numpy()
+            )
+        }
+        rows = []
+        for r in out.itertuples(index=False):
+            title, url, pwords = fetched[int(r.doc_id)]
+            rows.append((
+                int(r.doc_id), float(r.score), int(r.n_terms), title,
+                construct_introduction(words, quotes, pwords), url,
+            ))
+        return pd.DataFrame(rows, columns=BM25_RESULT_COLUMNS)
+
+    @staticmethod
+    def _range_refine(
+        scorable: list,
+        m_terms: list,
+        m_first: np.ndarray,
+        m_max: np.ndarray,
+        m_ub: np.ndarray,
+        theta: float,
+        surv: np.ndarray,
+    ) -> np.ndarray:
+        """Range-aware (true Block-Max) tightening of the global bound,
+        the numpy twin of operators/wand.py's ``_range_refine``: the
+        doc-id space is cut into a fixed ≤4096-bucket grid (span from the
+        OBSERVED doc-id high-water mark, so sparse id spaces never
+        overflow the grid); each term's per-bucket max block ub replaces
+        the corpus-global ``max_ub(t')`` in the Σ-other bound, so a head
+        term's block in a doc range where the tail term NEVER occurs gets
+        other-ub 0 and dies — the shape where the global bound provably
+        prunes nothing. Never looser than the global bound
+        (bucket_ub ≤ global_ub pointwise). Returns a keep-mask to AND
+        into ``surv``."""
+        from ..operators.wand import WAND_RANGE_GRID
+
+        grid = WAND_RANGE_GRID
+        span = max(1, int(int(m_max.max()) // grid + 1))
+        g1 = np.minimum(m_first // span, grid - 1).astype("int64")
+        g2 = np.minimum(m_max // span, grid - 1).astype("int64")
+        tid_of = {t: j for j, t in enumerate(scorable)}
+        m_tid = np.fromiter(
+            (tid_of[t] for t in m_terms), dtype="int64",
+            count=len(m_terms),
+        )
+        B = np.zeros((len(scorable), grid))
+        single = g1 == g2
+        np.maximum.at(B, (m_tid[single], g1[single]), m_ub[single])
+        for i in np.flatnonzero(~single):
+            seg = B[m_tid[i], g1[i]:g2[i] + 1]
+            np.maximum(seg, m_ub[i], out=seg)
+        tot = B.sum(axis=0)
+        keep = np.ones(len(m_ub), dtype=bool)
+        check = surv & single
+        keep[check] = (
+            m_ub[check]
+            + tot[g1[check]] - B[m_tid[check], g1[check]]
+        ) >= theta
+        for i in np.flatnonzero(surv & ~single):
+            other = (
+                tot[g1[i]:g2[i] + 1] - B[m_tid[i], g1[i]:g2[i] + 1]
+            )
+            keep[i] = m_ub[i] + float(other.max()) >= theta
+        return keep
+
+    def _filter_live(
+        self, arrays: dict, allowed: Optional[np.ndarray]
+    ) -> dict:
+        """Drop tombstoned (and, when gated, disallowed) postings from
+        decoded ``term -> (ids, tf, dl)`` arrays."""
+        out = {}
+        for t, (ids, tf, dl) in arrays.items():
+            m = self._mask_dead(ids)
+            if allowed is not None:
+                m &= np.isin(ids, allowed, assume_unique=False)
+            if m.any():
+                out[t] = (ids[m], tf[m], dl[m])
+        return out

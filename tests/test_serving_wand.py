@@ -1,0 +1,171 @@
+"""Serve-tier Block-Max WAND (serving/local.py wand_topk): rank- AND
+score-identical (bitwise) to the exhaustive serve-tier BM25 for every
+query shape — disjunctive, conjunctive, allowed_ids gates, tombstoned
+indexes, k beyond the match count — in both pinned and cold read modes;
+and on a heavy-tailed corpus the bound actually PRUNES blocks while
+staying lossless (the serving analogue of tests/test_wand.py's Spark
+gate)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import (
+    DEMO_STOP_WORDS, EngineConfig, ScoreWeights,
+)
+from search_engine_spark.serving import LocalIndexReader
+from conftest import build_fixture_engine
+from fixtures_data import CARL_MEMORY
+
+CFG = EngineConfig(score_weights=ScoreWeights())
+
+
+def rows(pdf):
+    return [
+        (int(r.doc_id), float(r.score), int(r.n_terms))
+        for r in pdf[["doc_id", "score", "n_terms"]].itertuples(index=False)
+    ]
+
+
+def assert_wand_equal(reader, other, query, **kw):
+    """wand_topk ≡ search_bm25 with bitwise-equal scores (same fold
+    order, same expression, same float64 ops)."""
+    full = other.search_bm25(query, **kw)
+    wand = reader.wand_topk(query, **kw)
+    assert list(full["doc_id"]) == list(wand["doc_id"]), query
+    assert list(full["n_terms"]) == list(wand["n_terms"]), query
+    assert np.array_equal(
+        full["score"].to_numpy(dtype="float64"),
+        wand["score"].to_numpy(dtype="float64"),
+    ), query
+
+
+@pytest.fixture(scope="module")
+def carl(spark, tmp_path_factory):
+    idx = tmp_path_factory.mktemp("carl_wand_idx")
+    engine = build_fixture_engine(spark, CARL_MEMORY, idx, config=CFG)
+    return engine, str(idx)
+
+
+QUERIES = [
+    "gauss",
+    "carl friedrich",
+    "carl friedrich gauss mathematician",
+    "gauss nosuchterm",
+    "nosuchterm anywhere",
+    "",
+]
+
+
+@pytest.mark.parametrize("pin", [True, False])
+def test_wand_parity_modes(carl, pin):
+    _, idx = carl
+    reader = LocalIndexReader(idx, config=CFG, pin_postings=pin)
+    for q in QUERIES:
+        assert_wand_equal(reader, reader, q)
+        assert_wand_equal(reader, reader, q, conjunctive=True)
+
+
+def test_wand_parity_vs_spark(carl):
+    """Cold serve-tier WAND vs the SPARK engine's exhaustive BM25 —
+    ranks identical, scores to 1 ULP (libm vs JVM Math.log)."""
+    engine, idx = carl
+    reader = LocalIndexReader(idx, config=CFG, pin_postings=False)
+    for q in ["carl friedrich", "gauss mathematician"]:
+        s = [
+            (r["doc_id"], r["score"], r["n_terms"])
+            for r in engine.search_bm25(q, k=10).collect()
+        ]
+        w = rows(reader.wand_topk(q, k=10))
+        assert [(d, n) for d, _, n in s] == [(d, n) for d, _, n in w], q
+        for (_, ss, _), (_, ws, _) in zip(s, w):
+            assert ss == pytest.approx(ws, rel=1e-14), q
+
+
+def test_wand_allowed_ids_and_big_k(carl):
+    _, idx = carl
+    reader = LocalIndexReader(idx, config=CFG, pin_postings=False)
+    every = rows(reader.search_bm25("gauss", k=1 << 30))
+    allowed = [d for d, _, _ in every[:3]] + [10 ** 9]
+    assert_wand_equal(reader, reader, "carl gauss", allowed_ids=allowed)
+    assert_wand_equal(reader, reader, "carl gauss", k=1 << 30)
+    # θ seeded from the gated docs only — a tiny allowed set must not
+    # over-prune (the failure mode of seeding from unfiltered partials)
+    assert_wand_equal(
+        reader, reader, "carl friedrich gauss",
+        allowed_ids=allowed[:1], k=2,
+    )
+
+
+def test_wand_with_results_matches_bm25_projection(carl):
+    _, idx = carl
+    reader = LocalIndexReader(idx, config=CFG, pin_postings=False)
+    full = reader.search_bm25("carl gauss", k=5, with_results=True)
+    wand = reader.wand_topk("carl gauss", k=5, with_results=True)
+    assert full.equals(wand)
+
+
+def test_wand_tombstones(spark, tmp_path):
+    from search_engine_spark.operators.deletes import delete_docs
+
+    idx = tmp_path / "idx"
+    engine = build_fixture_engine(spark, CARL_MEMORY, idx, config=CFG)
+    top = engine.search_bm25("gauss", k=1).collect()[0]
+    delete_docs(spark, str(idx), doc_ids=[top["doc_id"]], config=CFG)
+    reader = LocalIndexReader(str(idx), config=CFG, pin_postings=False)
+    assert_wand_equal(reader, reader, "carl gauss")
+    assert top["doc_id"] not in list(
+        reader.wand_topk("gauss", k=100)["doc_id"]
+    )
+
+
+def test_blocks_carry_dls(carl):
+    """The self-contained block format: dls present and consistent with
+    the postings table's dl for the same (term, doc)."""
+    engine, idx = carl
+    spark = engine.spark
+    blk = spark.read.parquet(f"{idx}/blocks")
+    assert "dls" in blk.columns
+    from_blocks = blk.select(
+        "term", F.explode(F.arrays_zip("tfs", "dls")).alias("z")
+    ).select(
+        "term",
+        F.col("z.tfs").cast("long").alias("tf"),
+        F.col("z.dls").cast("long").alias("dl"),
+    )
+    from_postings = spark.read.parquet(f"{idx}/postings").select(
+        "term", F.col("tf").cast("long"), F.col("dl").cast("long")
+    )
+    assert from_blocks.exceptAll(from_postings).count() == 0
+    assert from_postings.exceptAll(from_blocks).count() == 0
+
+
+def test_wand_prunes_on_skewed_corpus(spark, tmp_path):
+    """Heavy-tailed vocabulary: a head+tail query's θ must actually rule
+    out head-term blocks (blocks_read < blocks_total) with results still
+    bitwise-equal to exhaustive — losslessness is never bought back by
+    reading everything."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.transcripts import (
+        corpus_from_transcripts, synthesize_transcripts,
+    )
+
+    cfg = EngineConfig(
+        stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights(),
+        block_size=64,
+    )
+    tx = synthesize_transcripts(
+        spark, "/root/testdata/sf0.001/documents.parquet",
+        replicate=8, tail_vocab=400,
+    )
+    idx = str(tmp_path / "zipf_idx")
+    build_index(spark, corpus_from_transcripts(tx), idx, config=cfg, segments=2)
+    reader = LocalIndexReader(idx, config=cfg, pin_postings=False)
+    dfm = sorted(reader._df_map.items(), key=lambda kv: (-kv[1], kv[0]))
+    head, tail = dfm[0][0], dfm[-1][0]
+    q = f"{head} {tail}"
+    assert_wand_equal(reader, reader, q)
+    s = reader.last_wand_stats
+    assert s["blocks_total"] > 8
+    assert s["surviving_blocks"] < s["blocks_total"], s
+    assert s["blocks_read"] < s["blocks_total"], s

@@ -87,6 +87,42 @@ def main() -> dict:
             "pruned_fraction": last["pruned_fraction"],
             "global_pruned_fraction": last["global_pruned_fraction"],
         }
+
+    # serve-tier twin (serving/local.py wand_topk): the SAME bound
+    # algebra answered in-process from block reads — pruning fractions
+    # + losslessness vs the serve tier's exhaustive BM25, plus p50
+    # latency, per shape
+    import time as _time
+
+    from search_engine_spark.serving import LocalIndexReader
+
+    reader = LocalIndexReader(idx, config=cfg, pin_postings=False)
+    out["serve_tier"] = {}
+    for name, q in shapes.items():
+        exact_pdf = reader.search_bm25(q, k=10)
+        wand_pdf = reader.wand_topk(q, k=10)
+        lossless = (
+            list(exact_pdf["doc_id"]) == list(wand_pdf["doc_id"])
+            and list(exact_pdf["score"]) == list(wand_pdf["score"])
+        )
+        st = dict(reader.last_wand_stats)
+        samples = []
+        for _ in range(20):
+            tq = _time.time()
+            reader.wand_topk(q, k=10)
+            samples.append(_time.time() - tq)
+        samples.sort()
+        out["serve_tier"][name] = {
+            "lossless": lossless,
+            "blocks_total": st["blocks_total"],
+            "blocks_read": st["blocks_read"],
+            "read_fraction": round(
+                st["blocks_read"] / max(1, st["blocks_total"]), 4
+            ),
+            "surviving_blocks": st["surviving_blocks"],
+            "global_surviving_blocks": st["global_surviving_blocks"],
+            "p50_ms": round(1000 * samples[len(samples) // 2], 3),
+        }
     shutil.rmtree(idx, ignore_errors=True)
     return out
 
