@@ -106,3 +106,17 @@ def test_daemon_local_tier_bm25(planets_index):
     assert len(res) == 1 and res[0]["n_hits"] == 2
     scores = [h["score"] for h in res[0]["hits"]]
     assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+
+def test_daemon_local_tier_wand(planets_index):
+    """--wand serves BM25 through the block-pruned path — hits identical
+    to the exhaustive --bm25 serving above."""
+    bm25 = run_daemon(
+        planets_index, ["jupiter planet"], ("--tier", "local", "--bm25")
+    )
+    wand = run_daemon(
+        planets_index, ["jupiter planet"],
+        ("--tier", "local", "--wand"),
+    )
+    get = lambda msgs: [m for m in msgs if m["type"] == "result"][0]
+    assert get(wand)["hits"] == get(bm25)["hits"]

@@ -41,7 +41,12 @@ Tiers (--tier):
 Usage:
     python tools/serve_daemon.py <index_dir> [--bm25] [--k 10]
         [--max-batch 256] [--linger-ms 50] [--master local[N]]
-        [--tier spark|local]
+        [--tier spark|local] [--wand]
+
+--wand (local tier): BM25 ranking answered through serve-tier Block-Max
+WAND (serving/local.py wand_topk) — identical results, but per-query IO
+bounded by SURVIVING posting blocks instead of term df, the right mode
+when the shard's head-term slivers exceed what a probe should read.
 """
 
 from __future__ import annotations
@@ -106,12 +111,20 @@ def serve_batch(engine, texts, k: int, bm25: bool) -> dict:
     return hits
 
 
-def serve_batch_local(reader, texts, k: int, bm25: bool) -> dict:
+def serve_batch_local(
+    reader, texts, k: int, bm25: bool, wand: bool = False
+) -> dict:
     """Per-probe serving through the in-process reader (each query is
-    already ~ms — no fused plan needed or possible without Spark)."""
+    already ~ms — no fused plan needed or possible without Spark).
+    ``wand``: answer BM25 through the block-pruned Block-Max WAND path
+    (rank/score-identical to exhaustive, reads surviving blocks only —
+    the beyond-node-RAM head-term shape)."""
     hits: dict[int, list] = {}
     for i, text in enumerate(texts):
-        if bm25:
+        if wand:
+            pdf = reader.wand_topk(text, k=k, with_results=True)
+            cols = ("title", "url", "introduction", "score")
+        elif bm25:
             pdf = reader.search_bm25(text, k=k, with_results=True)
             cols = ("title", "url", "introduction", "score")
         else:
@@ -137,7 +150,14 @@ def main() -> None:
     ap.add_argument("--linger-ms", type=float, default=50.0)
     ap.add_argument("--master", default=None)
     ap.add_argument("--tier", choices=("spark", "local"), default="spark")
+    ap.add_argument("--wand", action="store_true",
+                    help="local tier only: BM25 via block-pruned "
+                         "Block-Max WAND (identical results, block-"
+                         "bounded reads)")
     args = ap.parse_args()
+    if args.wand and args.tier != "local":
+        ap.error("--wand requires --tier local (the Spark tier serves "
+                 "ranked batches through the fused bm25 plan)")
 
     cfg = EngineConfig(stop_words=DEMO_STOP_WORDS,
                        score_weights=ScoreWeights())
@@ -166,7 +186,9 @@ def main() -> None:
         if texts:
             t0 = time.time()
             if args.tier == "local":
-                hits = serve_batch_local(reader, texts, args.k, args.bm25)
+                hits = serve_batch_local(
+                    reader, texts, args.k, args.bm25, args.wand
+                )
             else:
                 hits = serve_batch(engine, texts, args.k, args.bm25)
             wall_ms = 1000.0 * (time.time() - t0)
