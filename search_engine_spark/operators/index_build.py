@@ -277,7 +277,8 @@ def build_index(
             ("postings/seg=0", "term string, doc_id long, tf int, dl long"),
             ("blocks/seg=0", "term string, first_doc long, max_doc long, n int, "
                              "doc_deltas array<long>, tfs array<int>, "
-                             "dls array<long>, block_max_partial double"),
+                             "dls array<long>, block_max_partial double, "
+                             "bake_avgdl double"),
             ("term_stats", "term string, df long, max_tf int"),
         ]:
             spark.createDataFrame([], schema).write.mode("overwrite").option("compression", config.parquet_codec).parquet(
@@ -454,6 +455,19 @@ def build_blocks(
     CURRENT corpus stats at read time, identical to the postings-table
     path.
 
+    ``bake_avgdl`` records the avgdl this call baked the partials with.
+    The partial is monotonically INCREASING in avgdl, so if the scorer's
+    corpus avgdl later exceeds the baked one (stats refreshed ahead of a
+    block re-bake — e.g. a crash between refresh_stats' corpus_stats
+    write and its build_blocks, or any stats/blocks snapshot skew), the
+    baked bound under-estimates true contributions and block pruning
+    would silently drop top-k docs. Both WAND paths therefore scale the
+    bound by ``max(1, avgdl_now / bake_avgdl)``, which restores a valid
+    upper bound for ANY drift direction: for avgdl_now ≥ bake,
+    f(avgdl_now) ≤ f(bake) · avgdl_now/bake (the denominator satisfies
+    D_now ≥ (bake/avgdl_now)·D_bake because (1-r)(tf + k1(1-b)) ≥ 0);
+    for avgdl_now ≤ bake, f(avgdl_now) ≤ f(bake) directly.
+
     Blocks are cut per partition-local (term, doc_id)-sorted run via
     mapInPandas — no per-term groupBy, so head-term skew never concentrates
     on one task. A term straddling a partition boundary yields one short
@@ -473,7 +487,7 @@ def build_blocks(
     schema = (
         "term string, first_doc long, max_doc long, n int, "
         "doc_deltas array<long>, tfs array<int>, dls array<long>, "
-        "block_max_partial double"
+        "block_max_partial double, bake_avgdl double"
     )
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -512,9 +526,10 @@ def _cut_runs(pdf: pd.DataFrame, block: int, k1: float, b: float,
     partial = (tfs / (tfs + k1 * (1 - b + b * dls / max(avgdl, 1e-9)))) if len(pdf) else np.array([])
 
     dls_i = pdf["dl"].to_numpy(dtype="int64")
+    bake = float(max(avgdl, 1e-9))
     rows = {"term": [], "first_doc": [], "max_doc": [], "n": [],
             "doc_deltas": [], "tfs": [], "dls": [],
-            "block_max_partial": []}
+            "block_max_partial": [], "bake_avgdl": []}
     start = 0
     n = len(pdf)
     while start < n:
@@ -535,5 +550,6 @@ def _cut_runs(pdf: pd.DataFrame, block: int, k1: float, b: float,
             rows["tfs"].append(tfs[s:e].astype("int32").tolist())
             rows["dls"].append(dls_i[s:e].tolist())
             rows["block_max_partial"].append(float(partial[s:e].max()))
+            rows["bake_avgdl"].append(bake)
         start = end
     return pd.DataFrame(rows)

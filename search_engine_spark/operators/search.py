@@ -227,12 +227,21 @@ class SearchEngine:
             # per-term max block partial (term_stats carries it as an
             # aggregate of block summaries): WAND's upper-bound stage then
             # needs NO per-query stats collect — both driver maps are
-            # vocab-sized and share the DRIVER_STATS_CAP bound
+            # vocab-sized and share the DRIVER_STATS_CAP bound. Pinned
+            # values carry the avgdl-drift correction (wand.block_max_eff)
+            # against THIS snapshot's corpus_stats — consistent with the
+            # per-query exact scorer until the next re-warm.
+            from .wand import block_max_eff
+
             self._blocks = self.blocks().persist()
             self._block_max_map = {
                 r["term"]: float(r["mx"])
                 for r in self._blocks.groupBy("term")
-                .agg(F.max("block_max_partial").alias("mx"))
+                .agg(
+                    F.max(
+                        block_max_eff(self._blocks, self.corpus_stats)
+                    ).alias("mx")
+                )
                 .collect()
             }
         if pin_docs:

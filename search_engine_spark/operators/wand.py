@@ -7,15 +7,16 @@ everything" idea becomes *block-level pruning* — a batch-friendly,
 deterministic re-statement of Block-Max WAND (Ding & Suel, SIGIR'11):
 
 1. driver-side (tiny): per-term idf from ``term_stats`` and per-term upper
-   bound ``ub_t = idf_t * (k1+1) * max(block_max_partial)`` via an algebraic
+   bound ``ub_t = idf_t * (k1+1) * max(bmp_eff)`` via an algebraic
    ``groupBy(term).max`` over the term-pruned blocks scan (map-side combine
-   absorbs head-term skew; result is |query terms| rows).
+   absorbs head-term skew; result is |query terms| rows). ``bmp_eff`` is
+   the avgdl-drift-corrected block max (see ``block_max_eff``).
 2. threshold seed: decode each term's top ``seed_blocks`` blocks by block
    upper bound, exact-score those docs, take the k-th best score as θ.
    θ is only a *lower bound* for pruning — correctness never depends on
    how good it is.
 3. prune: a block of term t survives iff
-   ``idf_t*(k1+1)*block_max_partial + Σ_{t'≠t} ub_{t'} ≥ θ``.
+   ``idf_t*(k1+1)*bmp_eff + Σ_{t'≠t} ub_{t'} ≥ θ``.
    Proof a top-k doc d survives: for t* = argmax contribution c_t(d), the
    block holding d for t* has ub ≥ c_{t*}(d) and the Σ-other bound covers
    the rest, so its bound ≥ score(d) ≥ θ. Pure Column filter, no shuffle.
@@ -41,6 +42,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .bm25 import query_terms
+
+
+def block_max_eff(blocks: DataFrame, corpus_stats: dict):
+    """Drift-corrected block upper-bound column: ``block_max_partial``
+    scaled by ``max(1, avgdl_now / bake_avgdl)``.
+
+    The baked partial ``tf/(tf+k1(1-b+b·dl/avgdl_bake))`` is
+    monotonically increasing in avgdl, so whenever the scorer's corpus
+    avgdl exceeds the one the block was baked with (stats refreshed
+    ahead of a block re-bake — a crash between refresh_stats' stats
+    write and its build_blocks, or any stats/blocks snapshot skew),
+    the raw baked bound UNDER-estimates true contributions and pruning
+    would silently drop top-k docs (repro'd; gated by
+    tests/test_wand.py::test_wand_lossless_under_avgdl_drift). The
+    correction restores validity for any drift direction: for
+    avgdl_now ≥ bake, D_now ≥ (bake/avgdl_now)·D_bake since
+    (1-r)(tf+k1(1-b)) ≥ 0, hence f_now ≤ f_bake·avgdl_now/bake; for
+    avgdl_now ≤ bake, f_now ≤ f_bake directly. At zero drift the factor
+    is exactly 1.0 (bit-identical bounds). Pre-``bake_avgdl`` indexes
+    (built before the self-contained block format) fall back to the
+    uncorrected bound — rebuild or compact to get drift safety."""
+    if "bake_avgdl" not in blocks.columns:
+        return F.col("block_max_partial")
+    avgdl_now = float(corpus_stats.get("avgdl") or 0.0) or 1.0
+    return F.col("block_max_partial") * F.greatest(
+        F.lit(1.0), F.lit(avgdl_now) / F.col("bake_avgdl")
+    )
 
 
 def decode_doc_ids_udf():
@@ -109,6 +137,9 @@ def _prepare(engine, text: str):
         .select("term", "df")
     )
     blocks = engine.blocks().filter(F.col("term").isin(terms))
+    blocks = blocks.withColumn(
+        "bmp_eff", block_max_eff(blocks, engine.corpus_stats)
+    )
 
     stats_map = getattr(engine, "_stats_map", None)
     bmax_map = getattr(engine, "_block_max_map", None)
@@ -122,7 +153,7 @@ def _prepare(engine, text: str):
         # the driver
         per_term = (
             blocks.groupBy("term")
-            .agg(F.max("block_max_partial").alias("mx"))
+            .agg(F.max("bmp_eff").alias("mx"))
             .join(stats, "term")
             .collect()
         )
@@ -163,7 +194,7 @@ def _theta_schedule(engine, present, blocks, stats, df_map, n, k, *,
     *filtered* k-th score (an unfiltered θ could overshoot it and prune
     blocks holding filtered top-k docs)."""
     block_ub = (
-        F.col("block_max_partial")
+        F.col("bmp_eff")
         * _idf_expr(df_map, n)
         * F.lit(engine.config.bm25_k1 + 1.0)
     )
@@ -235,7 +266,7 @@ def _prune_expr(present, df_map, term_max, n, k1, theta):
     expr = None
     for t in present:
         c = (theta - sum_other[t]) / (idf(t) * (k1 + 1.0))
-        cond = (F.col("term") == t) & (F.col("block_max_partial") >= F.lit(c))
+        cond = (F.col("term") == t) & (F.col("bmp_eff") >= F.lit(c))
         expr = cond if expr is None else (expr | cond)
     return expr
 
@@ -272,7 +303,7 @@ def _range_refine(blocks, survivors, present, df_map, n, k1, theta):
     """
     span = max(1, int(math.ceil(n / WAND_RANGE_GRID)))
     ub_col = (
-        F.col("block_max_partial") * _idf_expr(df_map, n) * F.lit(k1 + 1.0)
+        F.col("bmp_eff") * _idf_expr(df_map, n) * F.lit(k1 + 1.0)
     )
     # clamp to the top bucket: doc ids can sit above n (sparse ids after
     # deletes without compaction, or stale corpus_stats), which would

@@ -656,22 +656,37 @@ class LocalIndexReader:
 
     def _block_meta(self, terms: Sequence[str]) -> tuple:
         """Per-block metadata (term list, first_doc, max_doc,
-        block_max_partial arrays) for the given terms, through a bounded
-        per-term LRU — the metadata is a few numbers per block, so a
-        term's entry is df/block_size rows, read WITHOUT the array
-        columns."""
+        drift-corrected block_max_partial arrays) for the given terms,
+        through a bounded per-term LRU — the metadata is a few numbers
+        per block, so a term's entry is df/block_size rows, read WITHOUT
+        the array columns.
+
+        The cached bound is ``block_max_partial · max(1, avgdl_now /
+        bake_avgdl)`` — the numpy twin of ``operators.wand.block_max_eff``
+        (see its docstring for the monotonicity proof): the baked partial
+        under-estimates true contributions whenever this reader's corpus
+        avgdl exceeds the one the block was baked with (stats refreshed
+        ahead of a block re-bake), which would make pruning lossy. The
+        reader's avgdl is a constant of the open snapshot, so the
+        correction bakes into the cache entry. Pre-``bake_avgdl`` indexes
+        fall back to the uncorrected bound."""
         missing = [t for t in terms if t not in self._blk_meta_cache]
         if missing:
+            has_bake = "bake_avgdl" in self._blk_ds.schema.names
+            cols = ["term", "first_doc", "max_doc", "block_max_partial"]
+            if has_bake:
+                cols.append("bake_avgdl")
             meta = self._blk_ds.to_table(
-                filter=pc.field("term").isin(sorted(missing)),
-                columns=[
-                    "term", "first_doc", "max_doc", "block_max_partial"
-                ],
+                filter=pc.field("term").isin(sorted(missing)), columns=cols
             )
             tarr = np.asarray(meta["term"].to_pylist(), dtype=object)
             first = meta["first_doc"].to_numpy(zero_copy_only=False)
             mx = meta["max_doc"].to_numpy(zero_copy_only=False)
             bmp = meta["block_max_partial"].to_numpy(zero_copy_only=False)
+            if has_bake:
+                avgdl_now = float(self.corpus_stats["avgdl"]) or 1.0
+                bake = meta["bake_avgdl"].to_numpy(zero_copy_only=False)
+                bmp = bmp * np.maximum(1.0, avgdl_now / bake)
             for t in missing:
                 m = tarr == t
                 self._blk_meta_cache[t] = (first[m], mx[m], bmp[m])

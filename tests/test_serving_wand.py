@@ -169,3 +169,55 @@ def test_wand_prunes_on_skewed_corpus(spark, tmp_path):
     assert s["blocks_total"] > 8
     assert s["surviving_blocks"] < s["blocks_total"], s
     assert s["blocks_read"] < s["blocks_total"], s
+
+
+def test_serve_wand_lossless_under_avgdl_drift(spark, tmp_path):
+    """Serve-tier twin of test_wand.py's avgdl-drift gate: inflating
+    corpus_stats.json's avgdl above the blocks' bake_avgdl (the
+    stats-refreshed-ahead-of-re-bake crash window) must leave wand_topk
+    bitwise-equal to the reader's exhaustive BM25 — before the
+    bake_avgdl correction this exact setup dropped top-k docs and
+    returned empty frames at drift >= 4x — and at zero drift blocks must
+    still be pruned (the correction factor is exactly 1.0 there)."""
+    import json
+    import os
+
+    from search_engine_spark import fsio
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.transcripts import (
+        corpus_from_transcripts, synthesize_transcripts,
+    )
+
+    cfg = EngineConfig(
+        stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights(),
+        block_size=64,
+    )
+    tx = synthesize_transcripts(
+        spark, "/root/testdata/sf0.001/documents.parquet",
+        replicate=8, tail_vocab=400,
+    )
+    idx = str(tmp_path / "drift_idx")
+    build_index(spark, corpus_from_transcripts(tx), idx, config=cfg,
+                segments=2)
+    stats_path = os.path.join(idx, "corpus_stats.json")
+    with open(stats_path) as fh:
+        built = json.load(fh)
+
+    probe = LocalIndexReader(idx, config=cfg, pin_postings=False)
+    dfm = sorted(probe._df_map.items(), key=lambda kv: (-kv[1], kv[0]))
+    head, tail = dfm[0][0], dfm[-1][0]
+    queries = [f"{head} {tail}", head, f"{head} {dfm[1][0]} {tail}"]
+
+    for factor in (1.0, 4.0, 8.0):
+        drifted = dict(built)
+        drifted["avgdl"] = built["avgdl"] * factor
+        # through fsio (like refresh_stats), keeping the CRC sidecar valid
+        fsio.write_text(stats_path, json.dumps(drifted))
+        reader = LocalIndexReader(idx, config=cfg, pin_postings=False)
+        for q in queries:
+            assert_wand_equal(reader, reader, q)
+            assert_wand_equal(reader, reader, q, conjunctive=True)
+        if factor == 1.0:
+            reader.wand_topk(f"{head} {tail}", k=10)
+            s = reader.last_wand_stats
+            assert s["surviving_blocks"] < s["blocks_total"], s

@@ -162,3 +162,61 @@ def test_wand_range_aware_prunes_where_global_cannot(corpus_engine):
     last = stats["rounds"][-1]
     assert last["pruned_fraction"] > last["global_pruned_fraction"], stats
     assert last["pruned_fraction"] > 0.0, stats
+
+
+def test_wand_lossless_under_avgdl_drift(spark, tmp_path_factory):
+    """Stats/blocks snapshot skew must never make pruning lossy.
+
+    ``block_max_partial`` is baked with the avgdl at block-cut time and
+    is monotonically increasing in avgdl, so a corpus_stats avgdl ABOVE
+    the baked one (a crash between refresh_stats' stats write and its
+    block re-bake, or any stats-ahead-of-blocks skew) makes the raw
+    baked bound under-estimate true contributions — without the
+    ``bake_avgdl`` correction (wand.block_max_eff) this exact scenario
+    dropped true top-k docs and even returned empty results (repro'd at
+    drift ≥ 2x on this corpus shape). The corrected bound must stay
+    rank- and score-identical to exhaustive BM25 at every drift factor,
+    in both warmed (pinned-map) and cold paths, while still pruning at
+    zero drift (losslessness not bought back by reading everything)."""
+    import json
+    import os
+
+    from search_engine_spark import fsio
+    from search_engine_spark.operators.wand import wand_prune_stats
+    from search_engine_spark.sources.transcripts import (
+        synthesize_transcripts as synth,
+    )
+
+    cfg = EngineConfig(stop_words=DEMO_STOP_WORDS, block_size=64)
+    idx = str(tmp_path_factory.mktemp("wand_drift_idx"))
+    tx = synth(spark, f"{SF_DIR}/documents.parquet",
+               replicate=8, tail_vocab=400)
+    build_index(
+        spark, corpus_from_transcripts(tx), idx, config=cfg, segments=2
+    )
+    stats_path = os.path.join(idx, "corpus_stats.json")
+    with open(stats_path) as fh:
+        built = json.load(fh)
+
+    probe = SearchEngine(spark, idx, config=cfg)
+    ts = probe.term_stats().orderBy("df", ascending=False).collect()
+    head, tail = ts[0]["term"], ts[-1]["term"]
+    queries = [f"{head} {tail}", head]
+
+    for factor in (1.0, 4.0):
+        drifted = dict(built)
+        drifted["avgdl"] = built["avgdl"] * factor
+        # through fsio (like refresh_stats), keeping the CRC sidecar valid
+        fsio.write_text(stats_path, json.dumps(drifted))
+        engine = SearchEngine(spark, idx, config=cfg)
+        for warm in (False, True):
+            if warm:
+                engine.warm(pin_docs=False)
+            for q in queries:
+                exact = rows(engine.search_bm25(q, k=10))
+                assert rows(
+                    engine.search_bm25(q, k=10, use_wand=True)
+                ) == exact, (factor, warm, q)
+        prune = wand_prune_stats(engine, f"{head} {tail}", k=10)
+        if factor == 1.0:
+            assert prune["rounds"][-1]["pruned_fraction"] > 0.0, prune
