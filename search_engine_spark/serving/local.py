@@ -634,11 +634,22 @@ class LocalIndexReader:
                 kk = (t, int(fd))
                 if kk not in miss_set:  # isin over-selects cross pairs
                     continue
+                dls_py = dls_col[i].as_py()
+                if dls_py is None:
+                    # mixed-format index: this fragment predates the
+                    # self-contained (dls-carrying) block format, so the
+                    # schema-level guard in wand_topk couldn't catch it
+                    raise ValueError(
+                        "index blocks segment for term "
+                        f"{t!r} lacks dls values (written before the "
+                        "self-contained block format) — rebuild or "
+                        "compact the index to serve WAND from blocks"
+                    )
                 d = np.asarray(deltas_col[i].as_py(), dtype="int64")
                 self._blk_cache[kk] = (
                     int(fd) + np.cumsum(d),
                     np.asarray(tfs_col[i].as_py(), dtype="float64"),
-                    np.asarray(dls_col[i].as_py(), dtype="float64"),
+                    np.asarray(dls_py, dtype="float64"),
                 )
         out: dict[str, list] = {}
         for kk in sorted(keys):
@@ -686,7 +697,19 @@ class LocalIndexReader:
             if has_bake:
                 avgdl_now = float(self.corpus_stats["avgdl"]) or 1.0
                 bake = meta["bake_avgdl"].to_numpy(zero_copy_only=False)
-                bmp = bmp * np.maximum(1.0, avgdl_now / bake)
+                # Mixed-format index (segments appended after the format
+                # change next to pre-bake_avgdl ones): old fragments read
+                # as null -> NaN, and np.maximum PROPAGATES NaN — the
+                # poisoned bound would fail every >= comparison and prune
+                # those blocks even at zero drift. Match the Spark twin
+                # (F.greatest skips nulls): unknown bake -> uncorrected
+                # bound, per-block.
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    factor = avgdl_now / bake
+                factor = np.where(
+                    np.isfinite(factor), np.maximum(1.0, factor), 1.0
+                )
+                bmp = bmp * factor
             for t in missing:
                 m = tarr == t
                 self._blk_meta_cache[t] = (first[m], mx[m], bmp[m])

@@ -221,3 +221,81 @@ def test_serve_wand_lossless_under_avgdl_drift(spark, tmp_path):
             reader.wand_topk(f"{head} {tail}", k=10)
             s = reader.last_wand_stats
             assert s["surviving_blocks"] < s["blocks_total"], s
+
+
+def test_serve_wand_on_mixed_format_index(spark, tmp_path):
+    """A segment written before the bake_avgdl column (mixed-format
+    index: pre-change segments next to post-change appends) must not
+    poison pruning — pyarrow fills the missing column with null -> NaN,
+    and np.maximum propagates NaN, so before the finite-guard in
+    _block_meta those blocks' bounds went NaN and they were pruned even
+    at ZERO drift, silently dropping their docs from top-k. The reader
+    must stay bitwise-equal to exhaustive BM25 with per-block fallback
+    to the uncorrected bound, and the Spark WAND path must match its
+    exact scorer on the same mixed index (F.greatest's null-skip)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.search import SearchEngine
+    from search_engine_spark.sources.transcripts import (
+        corpus_from_transcripts, synthesize_transcripts,
+    )
+
+    cfg = EngineConfig(
+        stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights(),
+        block_size=64,
+    )
+    tx = synthesize_transcripts(
+        spark, "/root/testdata/sf0.001/documents.parquet",
+        replicate=8, tail_vocab=400,
+    )
+    idx = str(tmp_path / "mixed_idx")
+    build_index(spark, corpus_from_transcripts(tx), idx, config=cfg,
+                segments=2)
+
+    # simulate a pre-bake_avgdl segment: strip the column from seg=1's
+    # files in place (seg=0 keeps it, so the dataset-level schema —
+    # inferred from the first fragment — still carries bake_avgdl and
+    # the drift-correction path runs over null-filled old fragments)
+    stripped = 0
+    for f in glob.glob(os.path.join(idx, "blocks", "seg=1", "*.parquet")):
+        tbl = pq.read_table(f)
+        if "bake_avgdl" in tbl.schema.names:
+            pq.write_table(
+                tbl.drop_columns(["bake_avgdl"]), f, compression="zstd"
+            )
+            # the rewrite invalidates Hadoop's .crc sidecar
+            crc = os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+            stripped += 1
+    assert stripped > 0
+
+    reader = LocalIndexReader(idx, config=cfg, pin_postings=False)
+    assert "bake_avgdl" in reader._blk_ds.schema.names  # fix path active
+    dfm = sorted(reader._df_map.items(), key=lambda kv: (-kv[1], kv[0]))
+    head, mid, tail = dfm[0][0], dfm[1][0], dfm[-1][0]
+    for q in (f"{head} {tail}", head, f"{head} {mid} {tail}"):
+        assert_wand_equal(reader, reader, q)
+        assert_wand_equal(reader, reader, q, conjunctive=True)
+    reader.wand_topk(f"{head} {tail}", k=10)
+    s = reader.last_wand_stats
+    assert s["surviving_blocks"] > 0, s
+
+    engine = SearchEngine(spark, idx, config=cfg)
+    for q in (f"{head} {tail}", head):
+        exact = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in engine.search_bm25(q, k=10).collect()
+        ]
+        wand = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in engine.search_bm25(q, k=10, use_wand=True).collect()
+        ]
+        assert wand == exact, q
