@@ -88,6 +88,33 @@ BLOCK_CACHE_BLOCKS = 4096
 DENSE_SCORE_MAX_DOCS = 50_000_000
 
 
+def snapshot_token(index_dir: str) -> tuple:
+    """Cheap fingerprint of an index directory's state. Every mutation
+    path touches at least one constituent: ``build_index`` /
+    ``append_batch`` append manifest entries, ``refresh_stats`` rewrites
+    corpus_stats.json, ``delete_docs`` adds a tombstones part file, and
+    compaction's staged snapshot-swap rewrites the manifest. A handful
+    of stat/listdir calls — cheap enough to poll per serving batch
+    (LocalIndexReader.is_stale and serve_daemon --refresh auto do)."""
+    parts: list = []
+    for name in ("manifest.jsonl", "corpus_stats.json"):
+        p = os.path.join(index_dir, name)
+        try:
+            st = os.stat(p)
+            parts.append((name, st.st_size, st.st_mtime_ns))
+        except FileNotFoundError:
+            parts.append((name, -1, -1))
+    tdir = os.path.join(index_dir, "tombstones")
+    try:
+        files = tuple(sorted(
+            f for f in os.listdir(tdir) if f.startswith("part-")
+        ))
+    except FileNotFoundError:
+        files = ()
+    parts.append(("tombstones", files))
+    return tuple(parts)
+
+
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Intersection of two ASCENDING unique arrays without re-sorting
     (np.intersect1d sorts the concatenation — O((m+n)log(m+n)); this is
@@ -151,6 +178,18 @@ class LocalIndexReader:
     ):
         self.index_dir = index_dir
         self.config = config
+        self._want_pin_postings = pin_postings
+        self._want_pin_docs = pin_docs
+        self._open()
+
+    def _open(self) -> None:
+        """(Re)bind this reader to the CURRENT on-disk index state: fresh
+        dataset handles (file listings), stats, tombstones, empty caches,
+        re-pinned tables. ``__init__`` and :meth:`refresh` both land
+        here, so a refreshed reader is indistinguishable from a freshly
+        opened one."""
+        index_dir = self.index_dir
+        self._snapshot = self._snapshot_token()
         with open(os.path.join(index_dir, "corpus_stats.json")) as fh:
             self.corpus_stats = json.load(fh)
         self._docs_ds = ds.dataset(
@@ -172,14 +211,39 @@ class LocalIndexReader:
         self._tombstones = self._load_tombstones()
         self._df_map = self._load_term_stats()
         self._runs: Optional[dict] = None
-        if pin_postings:
+        if self._want_pin_postings:
             self._pin_postings()
         self._pos_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._blk_meta_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._blk_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._docs_pin: Optional[tuple] = None
-        if pin_docs:
+        if self._want_pin_docs:
             self._pin_docs()
+
+    # -- snapshot / refresh ----------------------------------------------
+
+    def _snapshot_token(self) -> tuple:
+        return snapshot_token(self.index_dir)
+
+    def is_stale(self) -> bool:
+        """True when the on-disk index has advanced past the snapshot
+        this reader serves (new segments, refreshed stats, new
+        tombstones, or a compaction swap)."""
+        return self._snapshot_token() != self._snapshot
+
+    def refresh(self, force: bool = False) -> bool:
+        """Advance to the current on-disk snapshot; returns whether a
+        reopen happened. The serving-fleet contract for serve-while-
+        ingest: writers only ever ADD files or replace whole small files
+        atomically (fsio's temp/rename), so an open reader keeps serving
+        its snapshot untouched and ``refresh()`` swaps to the new one in
+        one step — no partially-visible state in between (pytest-gated in
+        tests/test_serving_refresh.py). No-op (and no cache loss) when
+        nothing changed, unless ``force``."""
+        if not force and not self.is_stale():
+            return False
+        self._open()
+        return True
 
     # -- open-time loading ---------------------------------------------------
 

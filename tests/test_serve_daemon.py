@@ -120,3 +120,69 @@ def test_daemon_local_tier_wand(planets_index):
     )
     get = lambda msgs: [m for m in msgs if m["type"] == "result"][0]
     assert get(wand)["hits"] == get(bm25)["hits"]
+
+
+def test_daemon_refresh_auto(spark, tmp_path):
+    """--refresh auto picks up index mutations between batches without a
+    restart: the daemon answers from its open snapshot, the index is
+    tombstoned underneath it, and the NEXT batch first emits a
+    "refreshed" line and then serves the post-delete state. Interactive
+    (Popen) because the mutation must land mid-session."""
+    import queue
+    import threading
+
+    from search_engine_spark.operators.deletes import delete_docs
+
+    idx = tmp_path / "refresh_daemon_idx"
+    build_fixture_engine(spark, PLANETS, idx)
+
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "tools" / "serve_daemon.py"),
+         str(idx), "--k", "5", "--tier", "local", "--refresh", "auto",
+         "--linger-ms", "100"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=str(REPO),
+    )
+
+    # a reader thread, not select(): readline buffers ahead, so the fd
+    # can look unreadable while whole lines sit in the TextIO buffer
+    lines: "queue.Queue[str]" = queue.Queue()
+    threading.Thread(
+        target=lambda: [lines.put(ln) for ln in proc.stdout],
+        daemon=True,
+    ).start()
+
+    def read_msg(timeout=120.0):
+        try:
+            return json.loads(lines.get(timeout=timeout))
+        except queue.Empty:
+            raise AssertionError("daemon produced no output in time")
+
+    try:
+        ready = read_msg()
+        assert ready["type"] == "ready" and ready["docs"] == 2
+
+        proc.stdin.write("jupiter\n")
+        proc.stdin.flush()
+        first = read_msg()
+        assert first["type"] == "result" and first["n_hits"] == 2
+
+        read_msg()  # batch_stats
+        delete_docs(
+            spark, str(idx),
+            urls=["https://en.wikipedia.org/wiki/Jupiter"],
+        )
+
+        proc.stdin.write("jupiter\n")
+        proc.stdin.flush()
+        refreshed = read_msg()
+        assert refreshed == {"type": "refreshed", "docs": 1}
+        second = read_msg()
+        assert second["type"] == "result" and second["n_hits"] == 1
+        assert second["hits"][0]["url"] == (
+            "https://en.wikipedia.org/wiki/Saturn"
+        )
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)
+    assert proc.returncode == 0, proc.stderr.read()[-3000:]

@@ -21,6 +21,9 @@ Protocol:
              [, score]}...]}                        once per query
             {"type": "batch_stats", "batch": b, "n_queries": q,
              "wall_ms": w, "ms_per_query": m}       once per micro-batch
+            {"type": "refreshed", "docs": N}        with --refresh auto,
+                    when a batch found the index advanced and the daemon
+                    swapped to the new snapshot before serving it
 
 Batching: a reader thread feeds a queue; the serve loop blocks for the
 first pending query, then keeps draining until the queue stays empty
@@ -41,7 +44,13 @@ Tiers (--tier):
 Usage:
     python tools/serve_daemon.py <index_dir> [--bm25] [--k 10]
         [--max-batch 256] [--linger-ms 50] [--master local[N]]
-        [--tier spark|local] [--wand]
+        [--tier spark|local] [--wand] [--refresh off|auto]
+
+--refresh auto: before each batch, poll the index's snapshot token (a
+few stat calls — serving/local.snapshot_token) and pick up appended
+segments / refreshed stats / new tombstones without restarting: the
+local tier reopens its reader, the spark tier re-warms the engine. The
+serving fleet's rolling refresh for serve-while-ingest.
 
 --wand (local tier): BM25 ranking answered through serve-tier Block-Max
 WAND (serving/local.py wand_topk) — identical results, but per-query IO
@@ -154,6 +163,13 @@ def main() -> None:
                     help="local tier only: BM25 via block-pruned "
                          "Block-Max WAND (identical results, block-"
                          "bounded reads)")
+    ap.add_argument("--refresh", choices=("off", "auto"), default="off",
+                    help="auto: poll the index's snapshot token (a few "
+                         "stat calls) before each batch and pick up "
+                         "appended segments / refreshed stats / new "
+                         "tombstones without restarting — the serving "
+                         "fleet's rolling-refresh. local tier reopens "
+                         "the reader; spark tier re-warms the engine.")
     args = ap.parse_args()
     if args.wand and args.tier != "local":
         ap.error("--wand requires --tier local (the Spark tier serves "
@@ -180,9 +196,32 @@ def main() -> None:
     q: "queue.Queue" = queue.Queue()
     threading.Thread(target=_reader, args=(q,), daemon=True).start()
 
+    from search_engine_spark.serving.local import snapshot_token
+
+    token = snapshot_token(args.index_dir)
     batch_no = 0
     while True:
         texts, eof = drain_batch(q, args.max_batch, args.linger_ms / 1000.0)
+        if texts and args.refresh == "auto":
+            now = snapshot_token(args.index_dir)
+            if now != token:
+                # rolling refresh: swap to the new snapshot between
+                # batches — in-flight queries always see one consistent
+                # snapshot, never a mix
+                if args.tier == "local":
+                    reader.refresh(force=True)
+                    n_docs = reader.count()
+                else:
+                    # re-warm advances the warmed engine to the current
+                    # snapshot and releases the old pinned frames
+                    # (SearchEngine.warm's re-warm contract)
+                    engine = engine.warm().serve_mode()
+                    n_docs = engine.count()
+                token = now
+                out.write(json.dumps({
+                    "type": "refreshed", "docs": n_docs,
+                }) + "\n")
+                out.flush()
         if texts:
             t0 = time.time()
             if args.tier == "local":
