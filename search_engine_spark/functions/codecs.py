@@ -1,0 +1,213 @@
+"""Pure-stdlib media codecs: real PNG and WAV encode/decode with no
+third-party codec libraries (the container has none — no PIL, cv2,
+soundfile, av).
+
+This closes the one honestly-stubbed gap in the multimodal pipeline
+(`operators/multimodal.py` fake_decode): with these codecs the decode /
+resize / frame-sample operators run over REAL encoded bytes —
+zlib-compressed, per-row-filtered PNG scanlines and RIFF/PCM WAV frames —
+and their outputs are verified against closed-form DuckDB oracles, so a
+wrong inflate, unfilter, or sample parse shows up as a hash mismatch.
+
+Scope (honest bounds):
+  * PNG: 8-bit depth, grayscale / RGB / RGBA, non-interlaced. All five
+    scanline filter types (None/Sub/Up/Average/Paeth) on both sides; the
+    encoder cycles filters per row so the decoder's unfiltering is
+    genuinely exercised. CRCs written and verified.
+  * WAV: mono/interleaved 16-bit PCM via the stdlib ``wave`` module.
+  * Video stays stubbed (no stdlib container parser exists) — see
+    `operators/multimodal.py` sample_frames for the plumbing stub.
+
+Per-pixel Python loops exist only for the sequential filters (Sub /
+Average / Paeth have a loop-carried dependence along x); None and Up are
+vectorized. A production deployment swaps these bodies for libpng /
+libsndfile inside the SAME mapInPandas batches — the Spark-side plumbing
+(binary columns, Arrow batch shape, narrow no-shuffle maps) is identical.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> channel count (8-bit only)
+_CT_CHANNELS = {0: 1, 2: 3, 6: 4}
+_CHANNELS_CT = {1: 0, 3: 2, 4: 6}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (int16 in, uint8 out)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode a (H,W) grayscale / (H,W,3) RGB / (H,W,4) RGBA uint8 array
+    as a real PNG. Row y uses filter type ``y % 5`` so every filter kind
+    appears in any image with >= 5 rows."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"uint8 required, got {arr.dtype}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in _CHANNELS_CT:
+        raise ValueError(f"unsupported channel count {ch}")
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = arr.reshape(h, w * ch)
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        row = raw[y]
+        ft = y % 5
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = (row.astype(np.int16) - left).astype(np.uint8)
+        elif ft == 2:
+            filt = (row.astype(np.int16) - prior).astype(np.uint8)
+        elif ft == 3:
+            avg = (left.astype(np.int16) + prior.astype(np.int16)) // 2
+            filt = (row.astype(np.int16) - avg).astype(np.uint8)
+        else:
+            filt = (row.astype(np.int16) - _paeth(left, prior, ul)).astype(
+                np.uint8
+            )
+        out.append(ft)
+        out += filt.tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CHANNELS_CT[ch], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray/RGB/RGBA) to a uint8
+    array of shape (H,W) or (H,W,C). Verifies chunk CRCs."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    w = h = ch = None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if ctype not in _CT_CHANNELS:
+                raise ValueError(f"unsupported color type {ctype}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            ch = _CT_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    stream = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(stream) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    bpp = ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = stream[base]
+        filt = np.frombuffer(stream, np.uint8, stride, base + 1)
+        if ft == 0:
+            row = filt.copy()
+        elif ft == 2:  # Up — vectorized
+            row = (filt.astype(np.int16) + prior).astype(np.uint8)
+        elif ft == 1:  # Sub — prefix sum along x with stride bpp
+            row = filt.reshape(-1, bpp).astype(np.int64)
+            row = (np.cumsum(row, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ft == 3:  # Average — sequential along x
+            row = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(filt[x]) + (left + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth — sequential along x
+            row = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(filt[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = row
+        prior = row
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def resize_nearest(arr: np.ndarray, w2: int, h2: int) -> np.ndarray:
+    """Nearest-neighbor resize: source index floor(dst * src_dim /
+    dst_dim) — the exact formula the DuckDB oracle replicates."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(h2) * h) // h2
+    xs = (np.arange(w2) * w) // w2
+    return arr[ys][:, xs]
+
+
+def wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    """Encode a mono int16 sample array as RIFF/PCM WAV."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"int16 required, got {samples.dtype}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/PCM WAV bytes to (mono int16 samples, sample_rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"unsupported sample width {wf.getsampwidth()}")
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        samples = np.frombuffer(raw, dtype="<i2")
+        if wf.getnchannels() != 1:
+            samples = samples.reshape(-1, wf.getnchannels())[:, 0].copy()
+        return samples.astype(np.int16, copy=False), wf.getframerate()

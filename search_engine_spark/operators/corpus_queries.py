@@ -2248,6 +2248,28 @@ QUERIES["multimodal_features"] = (q_multimodal_features, SQL_MULTIMODAL_FEATURES
 QUERIES["multimodal_resize"] = (q_multimodal_resize, SQL_MULTIMODAL_RESIZE)
 QUERIES["multimodal_frames"] = (q_multimodal_frames, SQL_MULTIMODAL_FRAMES)
 
+# real-codec tier: genuine PNG/WAV bytes (pure-stdlib zlib/wave codecs)
+# decoded back and verified pixel/sample-exactly against closed-form SQL
+from .multimodal import (  # noqa: E402
+    SQL_MULTIMODAL_AUDIO_DECODE,
+    SQL_MULTIMODAL_AUDIO_FRAMES,
+    SQL_MULTIMODAL_IMAGE_DECODE,
+    SQL_MULTIMODAL_IMAGE_RESIZE,
+    q_multimodal_audio_decode,
+    q_multimodal_audio_frames,
+    q_multimodal_image_decode,
+    q_multimodal_image_resize,
+)
+
+QUERIES["multimodal_image_decode"] = (
+    q_multimodal_image_decode, SQL_MULTIMODAL_IMAGE_DECODE)
+QUERIES["multimodal_image_resize"] = (
+    q_multimodal_image_resize, SQL_MULTIMODAL_IMAGE_RESIZE)
+QUERIES["multimodal_audio_decode"] = (
+    q_multimodal_audio_decode, SQL_MULTIMODAL_AUDIO_DECODE)
+QUERIES["multimodal_audio_frames"] = (
+    q_multimodal_audio_frames, SQL_MULTIMODAL_AUDIO_FRAMES)
+
 # window / sampling / near-dup analytics extras (second batch). Module
 # import only — analytics_extras self-registers into QUERIES at its end,
 # which keeps BOTH import orders safe: importing analytics_extras first
