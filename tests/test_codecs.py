@@ -70,6 +70,43 @@ def test_wav_empty():
     assert rate == 8000 and len(out) == 0
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+
+if _HAS_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = codecs.png_decode(codecs.png_encode(arr))
+        assert out.shape == arr.shape and (out == arr).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 2048),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        out, r = codecs.wav_decode(codecs.wav_encode(s, rate))
+        assert r == rate and (out == s).all()
+
+
 def _local_image_rows(doc_ids):
     rows = {}
     for d in doc_ids:
