@@ -1,0 +1,283 @@
+"""Randomized differential fuzz: Spark path vs serve tier vs an
+independent pure-Python model.
+
+The fixed fixtures (planets, carl-friedrich, corpus suites) pin known
+answers; this suite generates a seeded random corpus (unicode words,
+digit tokens, 1-char always-stopped tokens, repeated words) and random
+queries, then checks THREE implementations against each other:
+
+1. the Spark engine (`SearchEngine.search` / `search_bm25` / WAND),
+2. the in-process serving tier (`LocalIndexReader`),
+3. a from-raw-docs model in this file that re-derives membership,
+   phrase adjacency, df/tf/dl/avgdl and BM25 scores directly from the
+   corpus text via the parity tokenizer — it never reads the index, so
+   a bug anywhere in index build (postings, positions, stats) or query
+   evaluation shows up as a three-way disagreement.
+
+Everything is seeded: failures reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+
+import pytest
+
+from conftest import build_fixture_engine
+from search_engine_spark.config import EngineConfig, ScoreWeights
+from search_engine_spark.functions.tokenizer import is_stop_word, tokenize
+from search_engine_spark.operators.wand import wand_topk
+from search_engine_spark.serving.local import LocalIndexReader
+
+CFG = EngineConfig(score_weights=ScoreWeights())
+SEED = 20260821
+N_DOCS = 50
+
+VOCAB = [
+    "merge", "window", "filter", "join", "scan", "table", "spark",
+    "batch", "stream", "hash", "sort", "order", "group", "shuffle",
+    "åäö", "zürich", "café", "naïve", "2024", "42", "x1", "q9",
+    "a", "b", "i",  # 1-char: always stop-filtered
+    "data", "part", "small", "big", "slow", "fast", "agg",
+]
+
+
+def gen_corpus(rng: random.Random) -> list[dict]:
+    docs = []
+    for i in range(N_DOCS):
+        title = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(2, 3)))
+        text = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(8, 25)))
+        docs.append({"url": f"u{i}", "title": title, "text": text, "rank": i})
+    return docs
+
+
+# ---------------------------------------------------------------------------
+# the independent model: recomputes everything from raw title/text
+# ---------------------------------------------------------------------------
+
+
+class Model:
+    def __init__(self, fixture: list[dict], url_to_id: dict):
+        self.docs = {}
+        for d in fixture:
+            words, _ = tokenize(d["title"] + " " + d["text"])
+            low = [w.lower() for w in words]
+            self.docs[url_to_id[d["url"]]] = low
+        self.n = len(self.docs)
+        self.avgdl = sum(len(t) for t in self.docs.values()) / self.n
+        self.df = {}
+        for toks in self.docs.values():
+            for t in set(toks):
+                if not is_stop_word(t, CFG.stop_words):
+                    self.df[t] = self.df.get(t, 0) + 1
+
+    @staticmethod
+    def parse(query: str):
+        words, quotes = tokenize(query)
+        terms = sorted({
+            w.lower() for w in words if not is_stop_word(w, CFG.stop_words)
+        })
+        phrases = []
+        low = [w.lower() for w in words]
+        for a, b in zip(quotes[0::2], quotes[1::2]):
+            if b > a:
+                phrases.append(low[a:b])
+        return terms, phrases
+
+    def match_ids(self, query: str) -> set:
+        """Conjunctive membership + phrase adjacency (parity search
+        candidate semantics, below the 100-candidate cap)."""
+        terms, phrases = self.parse(query)
+        if not terms:
+            return set()
+        out = set()
+        for doc_id, toks in self.docs.items():
+            tokset = set(toks)
+            if any(t not in tokset for t in terms):
+                continue
+            ok = True
+            for seq in phrases:
+                found = any(
+                    toks[i:i + len(seq)] == seq
+                    for i in range(len(toks) - len(seq) + 1)
+                )
+                if not found:
+                    ok = False
+                    break
+            if ok:
+                out.add(doc_id)
+        return out
+
+    def bm25(self, query: str, conjunctive: bool = False):
+        """{doc_id: (score, n_terms)} over all matching docs; per-doc sum
+        folded in sorted-term order like both engine paths."""
+        terms, _ = self.parse(query)
+        k1, b = CFG.bm25_k1, CFG.bm25_b
+        out = {}
+        for doc_id, toks in self.docs.items():
+            present = [t for t in terms if t in set(toks)]
+            if not present or (conjunctive and len(present) != len(terms)):
+                continue
+            dl = len(toks)
+            score = 0.0
+            for t in sorted(present):
+                tf = sum(1 for w in toks if w == t)
+                idf = math.log(
+                    1.0 + (self.n - self.df[t] + 0.5) / (self.df[t] + 0.5)
+                )
+                score += idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / self.avgdl)
+                )
+            out[doc_id] = (score, len(present))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz(spark, tmp_path_factory):
+    rng = random.Random(SEED)
+    fixture = gen_corpus(rng)
+    idx = tmp_path_factory.mktemp("fuzz_idx")
+    engine = build_fixture_engine(spark, fixture, idx, config=CFG, segments=3)
+    url_to_id = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(str(idx / "docs")).select(
+            "doc_id", "url").collect()
+    }
+    model = Model(fixture, url_to_id)
+    reader = LocalIndexReader(str(idx), config=CFG)
+    return engine, reader, model, rng, str(idx)
+
+
+def gen_queries(rng: random.Random, model: Model) -> list[str]:
+    qs = []
+    # plain 1-3 word conjunctive queries (known + unknown + stop terms)
+    pool = VOCAB + ["xyzzy", "unseen"]
+    for _ in range(14):
+        qs.append(" ".join(rng.choice(pool)
+                           for _ in range(rng.randint(1, 3))))
+    # phrase queries from REAL adjacent token pairs (guaranteed hits)...
+    ids = sorted(model.docs)
+    for _ in range(6):
+        toks = model.docs[rng.choice(ids)]
+        starts = [
+            i for i in range(len(toks) - 1)
+            if len(toks[i]) > 1 and len(toks[i + 1]) > 1
+            and toks[i] != toks[i + 1]
+        ]
+        if starts:
+            i = rng.choice(starts)
+            qs.append(f'"{toks[i]} {toks[i + 1]}"')
+    # ...and from random vocab pairs (mostly misses)
+    for _ in range(4):
+        w1, w2 = rng.sample([w for w in VOCAB if len(w) > 1], 2)
+        qs.append(f'"{w1} {w2}"')
+    # mixed: phrase + extra term
+    for _ in range(3):
+        toks = model.docs[rng.choice(ids)]
+        starts = [
+            i for i in range(len(toks) - 1)
+            if len(toks[i]) > 1 and len(toks[i + 1]) > 1
+            and toks[i] != toks[i + 1]
+        ]
+        if starts:
+            i = rng.choice(starts)
+            extra = rng.choice([w for w in VOCAB if len(w) > 1])
+            qs.append(f'"{toks[i]} {toks[i + 1]}" {extra}')
+    return qs
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_avgdl_contract(fuzz):
+    """The model's from-raw-text avgdl must equal the build's persisted
+    corpus_stats — guards the dl-definition contract the BM25 model
+    relies on (dl = ALL tokens of title+' '+text, pre-stop-filter)."""
+    _, _, model, _, idx = fuzz
+    stats = json.loads(open(f"{idx}/corpus_stats.json").read())
+    assert stats["n_docs"] == model.n
+    assert stats["avgdl"] == pytest.approx(model.avgdl, rel=1e-12)
+
+
+def test_search_three_way_membership(fuzz):
+    """Spark parity search ≡ serve tier ≡ model on WHICH docs match,
+    for every fuzzed query (corpus < 100 docs, so the candidate cap
+    never truncates and set-equality is exact)."""
+    engine, reader, model, rng, _ = fuzz
+    for q in gen_queries(random.Random(SEED + 1), model):
+        want = model.match_ids(q)
+        got_spark = {r["doc_id"] for r in engine.search(q).collect()}
+        got_serve = set(reader.search(q)["doc_id"].tolist())
+        assert got_spark == want, f"spark vs model: {q!r}"
+        assert got_serve == want, f"serve vs model: {q!r}"
+
+
+def test_search_rows_spark_vs_serve(fuzz):
+    """Full row parity (scores, snippets, projection) between the Spark
+    path and the serve tier on fuzzed queries — the fixed-fixture parity
+    tests, but on a random corpus."""
+    engine, reader, model, _, _ = fuzz
+    for q in gen_queries(random.Random(SEED + 2), model)[:12]:
+        spark_rows = [
+            (r["doc_id"], r["score"], r["title"], r["introduction"],
+             r["url"])
+            for r in engine.search(q).collect()
+        ]
+        serve_rows = [tuple(t) for t in
+                      reader.search(q).itertuples(index=False)]
+        assert serve_rows == spark_rows, q
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_bm25_three_way(fuzz, conjunctive):
+    """Exhaustive BM25 (Spark), serve-tier BM25, and WAND agree with the
+    model's from-raw-text scores for fuzzed multi-term queries: same doc
+    set, same n_terms, scores to 1e-9, ranking consistent after 9-dp
+    rounding."""
+    engine, reader, model, _, _ = fuzz
+    rng = random.Random(SEED + 3)
+    pool = [w for w in VOCAB if len(w) > 1] + ["xyzzy"]
+    queries = [
+        " ".join(rng.sample(pool, rng.randint(2, 4))) for _ in range(8)
+    ]
+    for q in queries:
+        want = model.bm25(q, conjunctive=conjunctive)
+        spark_rows = engine.search_bm25(
+            q, k=N_DOCS + 10, conjunctive=conjunctive).collect()
+        got = {r["doc_id"]: (r["score"], r["n_terms"]) for r in spark_rows}
+        assert set(got) == set(want), f"doc set: {q!r}"
+        for d in want:
+            assert got[d][1] == want[d][1], f"n_terms: {q!r} doc {d}"
+            assert got[d][0] == pytest.approx(want[d][0], rel=1e-9), (
+                f"score: {q!r} doc {d}")
+        # rank: identical under 9-dp rounding + doc_id tie-break
+        def order(m):
+            return [d for d, _ in sorted(
+                m.items(), key=lambda kv: (-round(kv[1][0], 9), kv[0]))]
+        assert [r["doc_id"] for r in spark_rows] == order(want), q
+        # serve tier
+        serve = {
+            int(t.doc_id): (float(t.score), int(t.n_terms))
+            for t in reader.search_bm25(
+                q, k=N_DOCS + 10, conjunctive=conjunctive
+            ).itertuples(index=False)
+        }
+        assert set(serve) == set(want), f"serve doc set: {q!r}"
+        for d in want:
+            assert serve[d][0] == pytest.approx(want[d][0], rel=1e-9)
+        # WAND (disjunctive path only)
+        if not conjunctive:
+            wrows = wand_topk(engine, q, k=N_DOCS + 10).collect()
+            wgot = {r["doc_id"]: r["score"] for r in wrows}
+            assert set(wgot) == set(want), f"wand doc set: {q!r}"
+            for d in want:
+                assert wgot[d] == pytest.approx(want[d][0], rel=1e-9)
