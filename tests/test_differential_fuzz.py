@@ -28,6 +28,9 @@ import pytest
 from conftest import build_fixture_engine
 from search_engine_spark.config import EngineConfig, ScoreWeights
 from search_engine_spark.functions.tokenizer import is_stop_word, tokenize
+from search_engine_spark.operators.compaction import compact_index
+from search_engine_spark.operators.deletes import delete_docs
+from search_engine_spark.operators.search import SearchEngine
 from search_engine_spark.operators.wand import wand_topk
 from search_engine_spark.serving.local import LocalIndexReader
 
@@ -281,3 +284,59 @@ def test_bm25_three_way(fuzz, conjunctive):
             assert set(wgot) == set(want), f"wand doc set: {q!r}"
             for d in want:
                 assert wgot[d] == pytest.approx(want[d][0], rel=1e-9)
+
+
+def test_lifecycle_fuzz_delete_compact(spark, tmp_path_factory):
+    """Random deletes + compaction, then the three-way check again: the
+    compacted index must behave exactly like an index built from only
+    the surviving docs — membership, BM25 scores (compaction re-stats
+    n_docs/avgdl/df over survivors), and the serve tier all agree with
+    the model recomputed on the survivor subset."""
+    rng = random.Random(SEED + 9)
+    fixture = gen_corpus(rng)
+    idx = tmp_path_factory.mktemp("fuzz_lifecycle_idx")
+    build_fixture_engine(spark, fixture, idx, config=CFG, segments=3)
+    url_to_id = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(str(idx / "docs")).select(
+            "doc_id", "url").collect()
+    }
+    victims = rng.sample([d["url"] for d in fixture], 12)
+    n_new = delete_docs(
+        spark, str(idx), urls=victims[:6],
+        doc_ids=[url_to_id[u] for u in victims[6:]], config=CFG,
+    )
+    assert n_new == 12
+    res = compact_index(spark, str(idx), config=CFG)
+    assert res.compacted
+
+    survivors = [d for d in fixture if d["url"] not in victims]
+    model = Model(survivors, url_to_id)
+    engine = SearchEngine(spark, str(idx), config=CFG)
+    reader = LocalIndexReader(str(idx), config=CFG)
+
+    stats = json.loads(open(f"{idx}/corpus_stats.json").read())
+    assert stats["n_docs"] == model.n
+    assert stats["avgdl"] == pytest.approx(model.avgdl, rel=1e-12)
+
+    qrng = random.Random(SEED + 10)
+    for q in gen_queries(qrng, model)[:10]:
+        want = model.match_ids(q)
+        assert {r["doc_id"] for r in engine.search(q).collect()} == want, q
+        assert set(reader.search(q)["doc_id"].tolist()) == want, q
+
+    pool = [w for w in VOCAB if len(w) > 1]
+    for q in [" ".join(qrng.sample(pool, 3)) for _ in range(4)]:
+        want = model.bm25(q)
+        got = {
+            r["doc_id"]: (r["score"], r["n_terms"])
+            for r in engine.search_bm25(q, k=N_DOCS + 10).collect()
+        }
+        assert set(got) == set(want), q
+        for d in want:
+            assert got[d][0] == pytest.approx(want[d][0], rel=1e-9), (q, d)
+        wgot = {
+            r["doc_id"]: r["score"]
+            for r in wand_topk(engine, q, k=N_DOCS + 10).collect()
+        }
+        assert set(wgot) == set(want), q
