@@ -340,3 +340,69 @@ def test_lifecycle_fuzz_delete_compact(spark, tmp_path_factory):
             for r in wand_topk(engine, q, k=N_DOCS + 10).collect()
         }
         assert set(wgot) == set(want), q
+
+
+def test_lifecycle_fuzz_incremental_append(spark, tmp_path_factory):
+    """Random incremental ingest: build on a base corpus, append a
+    random second batch via the streaming append path, refresh stats,
+    and re-check the three-way agreement with the model on the UNION —
+    guards doc-id continuation, segment layout, and the refreshed
+    df/avgdl statistics under random data."""
+    rng = random.Random(SEED + 20)
+    fixture = gen_corpus(rng)
+    base, extra = fixture[:35], fixture[35:]
+    idx = tmp_path_factory.mktemp("fuzz_append_idx")
+    build_fixture_engine(spark, base, idx, config=CFG, segments=2)
+
+    from search_engine_spark.streaming.incremental import (
+        append_batch, refresh_stats,
+    )
+
+    extra_df = spark.createDataFrame(
+        [
+            (d["url"], d["title"], d["text"], f"c{i}", 0)
+            for i, d in enumerate(extra)
+        ],
+        "url string, title string, text string, conv_id string, "
+        "turn_idx int",
+    )
+    assert append_batch(spark, extra_df, str(idx), "fz-1",
+                        config=CFG) == len(extra)
+    stats = refresh_stats(spark, str(idx), config=CFG)
+
+    url_to_id = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(str(idx / "docs")).select(
+            "doc_id", "url").collect()
+    }
+    assert len(url_to_id) == N_DOCS
+    model = Model(fixture, url_to_id)
+    assert stats["n_docs"] == model.n
+    assert stats["avgdl"] == pytest.approx(model.avgdl, rel=1e-12)
+
+    engine = SearchEngine(spark, str(idx), config=CFG)
+    reader = LocalIndexReader(str(idx), config=CFG)
+    qrng = random.Random(SEED + 21)
+    for q in gen_queries(qrng, model)[:10]:
+        want = model.match_ids(q)
+        assert {r["doc_id"] for r in engine.search(q).collect()} == want, q
+        assert set(reader.search(q)["doc_id"].tolist()) == want, q
+
+    pool = [w for w in VOCAB if len(w) > 1]
+    for q in [" ".join(qrng.sample(pool, 3)) for _ in range(4)]:
+        want = model.bm25(q)
+        got = {
+            r["doc_id"]: r["score"]
+            for r in engine.search_bm25(q, k=N_DOCS + 10).collect()
+        }
+        assert set(got) == set(want), q
+        for d in want:
+            assert got[d] == pytest.approx(want[d][0], rel=1e-9), (q, d)
+        serve = {
+            int(t.doc_id): float(t.score)
+            for t in reader.search_bm25(
+                q, k=N_DOCS + 10).itertuples(index=False)
+        }
+        assert serve.keys() == want.keys(), q
+        for d in want:
+            assert serve[d] == pytest.approx(want[d][0], rel=1e-9), (q, d)
