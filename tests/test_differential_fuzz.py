@@ -154,6 +154,8 @@ def fuzz(spark, tmp_path_factory):
             "doc_id", "url").collect()
     }
     model = Model(fixture, url_to_id)
+    model.fixture = fixture          # raw docs, for metadata predicates
+    model.url_to_id = url_to_id
     reader = LocalIndexReader(str(idx), config=CFG)
     return engine, reader, model, rng, str(idx)
 
@@ -406,3 +408,67 @@ def test_lifecycle_fuzz_incremental_append(spark, tmp_path_factory):
         assert serve.keys() == want.keys(), q
         for d in want:
             assert serve[d] == pytest.approx(want[d][0], rel=1e-9), (q, d)
+
+
+def test_filtered_retrieval_fuzz(fuzz):
+    """Metadata-filtered retrieval on the random corpus: Spark
+    ``where=`` (title contains w), serve-tier ``allowed_ids``, and the
+    model's raw-title substring filter agree — on the parity path AND
+    the ranked BM25 path (exhaustive and WAND)."""
+    from pyspark.sql import functions as F
+
+    engine, reader, model, _, _ = fuzz
+    rng = random.Random(SEED + 30)
+    pool = [w for w in VOCAB if len(w) > 1 and w.isascii()]
+    for _ in range(6):
+        q = " ".join(rng.sample(pool, 2))
+        w = rng.choice(pool)
+        allowed = {
+            model.url_to_id[d["url"]]
+            for d in model.fixture if w in d["title"]
+        }
+        pred = F.col("title").contains(w)
+        want = model.match_ids(q) & allowed
+        got = {r["doc_id"]
+               for r in engine.search(q, where=pred).collect()}
+        assert got == want, (q, w)
+        got_serve = set(
+            reader.search(q, allowed_ids=sorted(allowed))["doc_id"].tolist()
+        )
+        assert got_serve == want, (q, w)
+        # ranked path: same gate before the top-k
+        want_bm = {d for d in model.bm25(q) if d in allowed}
+        got_bm = {
+            r["doc_id"]
+            for r in engine.search_bm25(q, k=N_DOCS + 10,
+                                        where=pred).collect()
+        }
+        assert got_bm == want_bm, (q, w)
+        got_wand = {
+            r["doc_id"]
+            for r in engine.search_bm25(q, k=N_DOCS + 10, use_wand=True,
+                                        where=pred).collect()
+        }
+        assert got_wand == want_bm, (q, w)
+
+
+def test_boolean_fuzz(fuzz):
+    """Extended boolean atoms on the random corpus: ``-word`` exclusion
+    and ``word*`` prefix checked against the model's token sets."""
+    engine, _, model, _, _ = fuzz
+    rng = random.Random(SEED + 31)
+    pool = [w for w in VOCAB if len(w) > 1 and w.isascii()]
+    for _ in range(8):
+        pos = rng.sample(pool, 2)
+        neg = rng.choice([w for w in pool if w not in pos])
+        pre = rng.choice(pool)[:2]
+        q = f"{pos[0]} {pos[1]} -{neg} {pre}*"
+        want = {
+            d for d, toks in model.docs.items()
+            if pos[0] in toks and pos[1] in toks and neg not in toks
+            and any(t.startswith(pre) for t in toks)
+        }
+        got = {r["doc_id"] for r in engine.search_boolean(q).collect()}
+        assert got == want, q
+    # exclusion-only queries are empty by design
+    assert engine.search_boolean(f"-{pool[0]}").count() == 0
