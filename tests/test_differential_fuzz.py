@@ -472,3 +472,43 @@ def test_boolean_fuzz(fuzz):
         assert got == want, q
     # exclusion-only queries are empty by design
     assert engine.search_boolean(f"-{pool[0]}").count() == 0
+
+
+def test_batch_fuzz_matches_single(fuzz):
+    """The fused batch plans must answer EVERY fuzzed query exactly like
+    the single-query paths — per-query rows and order — on the random
+    corpus (the fixed-fixture batch tests, randomized)."""
+    engine, _, model, _, _ = fuzz
+    queries = gen_queries(random.Random(SEED + 40), model)[:12]
+    batch = engine.search_many(queries)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(queries[r["query_id"]], []).append(r)
+    for q in queries:
+        want = [
+            (r["doc_id"], r["score"], r["title"], r["introduction"],
+             r["url"])
+            for r in engine.search(q).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"], r["title"], r["introduction"],
+             r["url"])
+            for r in by_q.get(q, [])
+        ]
+        assert got == want, q
+
+    bm_qs = [q for q in queries if '"' not in q][:6]
+    bm_batch = engine.search_bm25_many(bm_qs, k=N_DOCS + 10)
+    by_q = {}
+    for r in bm_batch.collect():
+        by_q.setdefault(bm_qs[r["query_id"]], []).append(r)
+    for q in bm_qs:
+        want = [
+            (r["doc_id"], r["score"], r["n_terms"])
+            for r in engine.search_bm25(q, k=N_DOCS + 10).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"], r["n_terms"])
+            for r in by_q.get(q, [])
+        ]
+        assert got == want, q
