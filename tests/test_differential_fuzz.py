@@ -512,3 +512,28 @@ def test_batch_fuzz_matches_single(fuzz):
             for r in by_q.get(q, [])
         ]
         assert got == want, q
+
+
+def test_serve_tier_wand_fuzz(fuzz):
+    """Serve-tier Block-Max WAND on the random corpus: bitwise equal to
+    the reader's exhaustive BM25 top-k, and score-consistent with the
+    model — plain, conjunctive, and allowed_ids-filtered."""
+    _, reader, model, _, _ = fuzz
+    rng = random.Random(SEED + 50)
+    pool = [w for w in VOCAB if len(w) > 1]
+    ids = sorted(model.docs)
+    for i in range(6):
+        q = " ".join(rng.sample(pool, rng.randint(2, 4)))
+        conj = i % 3 == 1
+        allowed = sorted(rng.sample(ids, 20)) if i % 3 == 2 else None
+        kw = dict(k=15, conjunctive=conj, allowed_ids=allowed)
+        exhaustive = [tuple(t) for t in
+                      reader.search_bm25(q, **kw).itertuples(index=False)]
+        wand = [tuple(t) for t in
+                reader.wand_topk(q, **kw).itertuples(index=False)]
+        assert wand == exhaustive, (q, conj, allowed is not None)
+        want = model.bm25(q, conjunctive=conj)
+        if allowed is not None:
+            want = {d: v for d, v in want.items() if d in set(allowed)}
+        for d, score, _n in wand:
+            assert score == pytest.approx(want[d][0], rel=1e-9), (q, d)
