@@ -253,10 +253,34 @@ def _theta_schedule(engine, present, blocks, stats, df_map, n, k, *,
     return thetas
 
 
+def theta_guard(theta: float) -> float:
+    """Floating-point-safe prune threshold, used by EVERY bound-vs-θ
+    comparison (here and in the serve tier's numpy twin).
+
+    Block upper bounds are computed in a different multiplication order
+    than the exact rescoring fold (``ub = bmp·idf·(k1+1)`` vs
+    ``score = idf·(tf·(k1+1))/denom``), so a bound that mathematically
+    EQUALS θ can land a couple of ULPs below it. θ is itself an exact
+    candidate score whenever the seed pool already holds the true k-th
+    best doc — the common case — and if that doc is also its own
+    block's maximum with no other-term contribution, a strict fp
+    comparison prunes the block holding the k-th best doc (caught by
+    tests/test_differential_fuzz.py::test_skewed_corpus_wand_fuzz: a
+    2-ULP-low bound at an exact boundary tie). Deflating θ by a
+    relative 1e-12 (~4·10³ ULPs — far above the few-ULP association
+    error, far below any meaningful score gap) keeps every such block;
+    the only cost is also reading blocks whose bound lies within
+    θ·1e-12 of θ."""
+    return theta - abs(theta) * 1e-12
+
+
 def _prune_expr(present, df_map, term_max, n, k1, theta):
     """Literal block-survival filter for a given θ: a block of term t
     survives iff its own best-possible contribution plus every other
-    term's global upper bound still reaches θ."""
+    term's global upper bound still reaches θ (fp-guarded, see
+    :func:`theta_guard`)."""
+    theta = theta_guard(theta)
+
     def idf(t: str) -> float:
         d = df_map[t]
         return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
@@ -301,6 +325,7 @@ def _range_refine(blocks, survivors, present, df_map, n, k1, theta):
     blocks, ≤ grid for a rare term spanning the space), two broadcast
     joins, one groupBy over block metadata — no posting is decoded.
     """
+    theta = theta_guard(theta)
     span = max(1, int(math.ceil(n / WAND_RANGE_GRID)))
     ub_col = (
         F.col("bmp_eff") * _idf_expr(df_map, n) * F.lit(k1 + 1.0)

@@ -930,7 +930,12 @@ class LocalIndexReader:
             ((sum_ub - g_ub[t]) for t in m_terms),
             dtype="float64", count=len(m_terms),
         )
-        surv = bound >= theta if theta > 0.0 else np.ones(
+        # fp-guarded θ: a bound that mathematically equals θ can land a
+        # few ULPs below it (different multiplication order than the
+        # exact fold) — see operators.wand.theta_guard
+        from ..operators.wand import theta_guard
+        theta_cmp = theta_guard(theta)
+        surv = bound >= theta_cmp if theta > 0.0 else np.ones(
             len(m_ub), dtype=bool
         )
         global_surv = int(surv.sum())
@@ -1035,7 +1040,7 @@ class LocalIndexReader:
         prunes nothing. Never looser than the global bound
         (bucket_ub ≤ global_ub pointwise). Returns a keep-mask to AND
         into ``surv``."""
-        from ..operators.wand import WAND_RANGE_GRID
+        from ..operators.wand import WAND_RANGE_GRID, theta_guard
 
         grid = WAND_RANGE_GRID
         span = max(1, int(int(m_max.max()) // grid + 1))
@@ -1053,17 +1058,18 @@ class LocalIndexReader:
             seg = B[m_tid[i], g1[i]:g2[i] + 1]
             np.maximum(seg, m_ub[i], out=seg)
         tot = B.sum(axis=0)
+        theta_cmp = theta_guard(theta)  # fp-guarded, see operators.wand
         keep = np.ones(len(m_ub), dtype=bool)
         check = surv & single
         keep[check] = (
             m_ub[check]
             + tot[g1[check]] - B[m_tid[check], g1[check]]
-        ) >= theta
+        ) >= theta_cmp
         for i in np.flatnonzero(surv & ~single):
             other = (
                 tot[g1[i]:g2[i] + 1] - B[m_tid[i], g1[i]:g2[i] + 1]
             )
-            keep[i] = m_ub[i] + float(other.max()) >= theta
+            keep[i] = m_ub[i] + float(other.max()) >= theta_cmp
         return keep
 
     def _filter_live(

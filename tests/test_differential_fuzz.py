@@ -537,3 +537,62 @@ def test_serve_tier_wand_fuzz(fuzz):
             want = {d: v for d, v in want.items() if d in set(allowed)}
         for d, score, _n in wand:
             assert score == pytest.approx(want[d][0], rel=1e-9), (q, d)
+
+
+def test_skewed_corpus_wand_fuzz(spark, tmp_path_factory):
+    """Zipf-shaped random corpus (3 head words in ~90% of docs, a long
+    synthetic tail) with small blocks so Block-Max WAND actually has
+    blocks to rule out: head+tail queries must stay bitwise-equal to
+    exhaustive BM25 on BOTH WAND paths (Spark + serve tier), match the
+    from-raw-text model, and at least one query must demonstrably prune
+    (surviving_blocks < blocks_total) — losslessness is not bought back
+    by reading everything."""
+    rng = random.Random(SEED + 60)
+    heads = ["alpha", "beta", "gamma"]
+    tails = [f"t{n}" for n in range(300)]
+    fixture = []
+    for i in range(150):
+        toks = []
+        for h in heads:
+            if rng.random() < 0.9:
+                toks += [h] * rng.randint(1, 4)
+        toks += rng.sample(tails, rng.randint(3, 8))
+        rng.shuffle(toks)
+        fixture.append({
+            "url": f"s{i}",
+            "title": " ".join(rng.sample(tails, 2)),
+            "text": " ".join(toks),
+            "rank": i,
+        })
+    cfg = EngineConfig(score_weights=ScoreWeights(), block_size=16)
+    idx = tmp_path_factory.mktemp("fuzz_skew_idx")
+    engine = build_fixture_engine(spark, fixture, idx, config=cfg,
+                                  segments=2)
+    url_to_id = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(str(idx / "docs")).select(
+            "doc_id", "url").collect()
+    }
+    model = Model(fixture, url_to_id)
+    reader = LocalIndexReader(str(idx), config=cfg, pin_postings=False)
+
+    pruned_any = 0
+    for i in range(6):
+        q = f"{rng.choice(heads)} {rng.choice(tails)}"
+        want = model.bm25(q)
+        exhaustive = [tuple(t) for t in
+                      reader.search_bm25(q, k=10).itertuples(index=False)]
+        wand = [tuple(t) for t in
+                reader.wand_topk(q, k=10).itertuples(index=False)]
+        assert wand == exhaustive, q
+        s = reader.last_wand_stats
+        if s["surviving_blocks"] < s["blocks_total"]:
+            pruned_any += 1
+        for d, score, _n in wand:
+            assert score == pytest.approx(want[d][0], rel=1e-9), (q, d)
+        sp = wand_topk(engine, q, k=10).collect()
+        assert [(r["doc_id"]) for r in sp] == [d for d, _, _ in wand], q
+        for r in sp:
+            assert r["score"] == pytest.approx(want[r["doc_id"]][0],
+                                               rel=1e-9), q
+    assert pruned_any > 0, "no query pruned any block on the skewed corpus"
