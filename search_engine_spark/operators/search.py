@@ -219,31 +219,37 @@ class SearchEngine:
         # by DRIVER_STATS_CAP; beyond it the broadcast-join path remains.
         self._stats_map: Optional[dict] = None
         self._block_max_map: Optional[dict] = None
+        self._block_min_map: Optional[dict] = None
+        self._block_cnt_map: Optional[dict] = None
         if n_vocab <= DRIVER_STATS_CAP:
             self._stats_map = {
                 r["term"]: int(r["df"])
                 for r in self._term_stats.select("term", "df").collect()
             }
-            # per-term max block partial (term_stats carries it as an
-            # aggregate of block summaries): WAND's upper-bound stage then
-            # needs NO per-query stats collect — both driver maps are
-            # vocab-sized and share the DRIVER_STATS_CAP bound. Pinned
-            # values carry the avgdl-drift correction (wand.block_max_eff)
-            # against THIS snapshot's corpus_stats — consistent with the
+            # per-term max/min block partial + block count: WAND's
+            # upper-bound stage then needs NO per-query stats collect —
+            # the driver maps are vocab-sized and share the
+            # DRIVER_STATS_CAP bound (min + count feed the adaptive
+            # exhaustive-fallback check, wand.py). Pinned values carry
+            # the avgdl-drift correction (wand.block_max_eff) against
+            # THIS snapshot's corpus_stats — consistent with the
             # per-query exact scorer until the next re-warm.
             from .wand import block_max_eff
 
             self._blocks = self.blocks().persist()
-            self._block_max_map = {
-                r["term"]: float(r["mx"])
-                for r in self._blocks.groupBy("term")
+            bmp_eff = block_max_eff(self._blocks, self.corpus_stats)
+            per_term = (
+                self._blocks.groupBy("term")
                 .agg(
-                    F.max(
-                        block_max_eff(self._blocks, self.corpus_stats)
-                    ).alias("mx")
+                    F.max(bmp_eff).alias("mx"),
+                    F.min(bmp_eff).alias("mn"),
+                    F.count(F.lit(1)).alias("cnt"),
                 )
                 .collect()
-            }
+            )
+            self._block_max_map = {r["term"]: float(r["mx"]) for r in per_term}
+            self._block_min_map = {r["term"]: float(r["mn"]) for r in per_term}
+            self._block_cnt_map = {r["term"]: int(r["cnt"]) for r in per_term}
         if pin_docs:
             # pre-partitioned AND pre-sorted on doc_id so the per-query
             # candidates->docs join needs NO docs-side exchange or sort

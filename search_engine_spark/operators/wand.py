@@ -143,26 +143,40 @@ def _prepare(engine, text: str):
 
     stats_map = getattr(engine, "_stats_map", None)
     bmax_map = getattr(engine, "_block_max_map", None)
+    bmin_map = getattr(engine, "_block_min_map", None)
+    bcnt_map = getattr(engine, "_block_cnt_map", None)
     if stats_map is not None and bmax_map is not None:
-        # warmed: both maps pinned vocab-sized at warm() — no per-query
-        # stats job at all
+        # warmed: the maps are pinned vocab-sized at warm() — no
+        # per-query stats job at all
         df_map = {t: stats_map[t] for t in terms if t in stats_map}
         term_max = {t: bmax_map[t] for t in terms if t in bmax_map}
+        term_min = {
+            t: bmin_map[t] for t in terms if t in (bmin_map or {})
+        }
+        term_cnt = {
+            t: bcnt_map[t] for t in terms if t in (bcnt_map or {})
+        }
     else:
-        # cold: ONE collect — stats and block maxima join before hitting
-        # the driver
+        # cold: ONE collect — stats and block min/max/count join before
+        # hitting the driver
         per_term = (
             blocks.groupBy("term")
-            .agg(F.max("bmp_eff").alias("mx"))
+            .agg(
+                F.max("bmp_eff").alias("mx"),
+                F.min("bmp_eff").alias("mn"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
             .join(stats, "term")
             .collect()
         )
         df_map = {r["term"]: r["df"] for r in per_term}
         term_max = {r["term"]: r["mx"] for r in per_term}
+        term_min = {r["term"]: r["mn"] for r in per_term}
+        term_cnt = {r["term"]: r["cnt"] for r in per_term}
     present = [t for t in terms if t in df_map and t in term_max]
     if not present:
         return None
-    return present, blocks, stats, df_map, term_max
+    return present, blocks, stats, df_map, term_max, term_min, term_cnt
 
 
 def _theta_schedule(engine, present, blocks, stats, df_map, n, k, *,
@@ -270,8 +284,36 @@ def theta_guard(theta: float) -> float:
     relative 1e-12 (~4·10³ ULPs — far above the few-ULP association
     error, far below any meaningful score gap) keeps every such block;
     the only cost is also reading blocks whose bound lies within
-    θ·1e-12 of θ."""
+    θ·1e-12 of θ.
+
+    MARGIN CONTRACT: 1e-12 covers a bound/score expression of up to
+    ~2000 float64 ops' relative error (n_ops · ε, ε = 2⁻⁵²≈2.2e-16);
+    the current expressions are ≤ ~10-op chains per term with ≤ a few
+    hundred summed terms, far inside that budget. If the bound or
+    rescoring algebra ever grows a materially longer fp chain (long
+    unpaired reductions, iterative refinement), re-derive the margin as
+    n_ops·ε instead of editing this constant blind — the differential
+    fuzz (test_skewed_corpus_wand_fuzz) is the only other net that
+    catches an under-sized guard, and only probabilistically."""
     return theta - abs(theta) * 1e-12
+
+
+def _min_global_bound(present, df_map, term_min, term_max, n, k1) -> float:
+    """The WEAKEST block's global-bound value: ``min_t (idf_t·(k1+1)·
+    min_bmp(t) + Σ_{t'≠t} ub_{t'})``. If even this clears the guarded θ,
+    the global filter keeps every block — the trigger for the adaptive
+    exhaustive fallback (see ``wand_topk``). Pure driver math over the
+    per-term maps (no job)."""
+
+    def idf(t: str) -> float:
+        d = df_map[t]
+        return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+
+    ub = {t: idf(t) * (k1 + 1.0) * term_max[t] for t in present}
+    tot = sum(ub.values())
+    return min(
+        idf(t) * (k1 + 1.0) * term_min[t] + (tot - ub[t]) for t in present
+    )
 
 
 def _prune_expr(present, df_map, term_max, n, k1, theta):
@@ -398,7 +440,7 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
     prep = _prepare(engine, text)
     if prep is None:
         return spark.createDataFrame([], empty)
-    present, blocks, stats, df_map, term_max = prep
+    present, blocks, stats, df_map, term_max, term_min, term_cnt = prep
     k1 = engine.config.bm25_k1
     n = float(engine.corpus_stats["n_docs"])
     decode = decode_doc_ids_udf()
@@ -409,6 +451,34 @@ def wand_topk(engine, text: str, k: int = 10, seed_blocks: int = 2,
         conjunctive=conjunctive, decode=decode, allowed=allowed,
     )
     theta = thetas[-1]
+
+    # -- adaptive exhaustive fallback (serving twin: serving/local.py) ----
+    # When θ cannot beat ANY block bound, the pruning machinery would
+    # decode every block and rescore everything — strictly more work
+    # than the exhaustive plan over the same postings (results identical
+    # by the pytest-gated equality). θ = 0 (seed couldn't fill k) can
+    # never prune; otherwise the check is free driver math against the
+    # weakest global bound, and only when THAT keeps everything do we
+    # pay one metadata-only count to ask whether the range-aware bound
+    # still prunes (it usually carries multi-term pruning).
+    fallback = theta <= 0.0
+    if not fallback and _min_global_bound(
+        present, df_map, term_min, term_max, n, k1
+    ) >= theta_guard(theta):
+        if not range_aware or len(present) == 1:
+            fallback = True
+        else:
+            total = sum(term_cnt.get(t, 0) for t in present)
+            surv_cnt = _range_refine(
+                blocks, blocks, present, df_map, n, k1, theta
+            ).count()
+            fallback = surv_cnt >= total
+    if fallback:
+        from .bm25 import bm25_topk
+
+        return bm25_topk(
+            engine, text, k=k, conjunctive=conjunctive, allowed=allowed
+        )
 
     # -- prune (pure filter, literal thresholds), decode, exact score ------
     survivors = blocks.filter(
@@ -447,7 +517,7 @@ def wand_prune_stats(engine, text: str, k: int = 10, seed_blocks: int = 2,
     prep = _prepare(engine, text)
     if prep is None:
         return {"n_blocks": 0, "rounds": []}
-    present, blocks, stats, df_map, term_max = prep
+    present, blocks, stats, df_map, term_max, term_min, term_cnt = prep
     blocks = blocks.persist()
     k1 = engine.config.bm25_k1
     n = float(engine.corpus_stats["n_docs"])
@@ -485,7 +555,19 @@ def wand_prune_stats(engine, text: str, k: int = 10, seed_blocks: int = 2,
             }
         )
     blocks.unpersist()
-    return {"n_blocks": total, "terms": len(present), "rounds": rounds}
+    # mirrors wand_topk's adaptive check: True means a live query of this
+    # shape would skip the machinery and run the exhaustive plan
+    would_fallback = (
+        not rounds
+        or rounds[-1]["theta"] <= 0.0
+        or rounds[-1]["surviving_blocks"] >= total
+    )
+    return {
+        "n_blocks": total,
+        "terms": len(present),
+        "rounds": rounds,
+        "would_fallback": would_fallback,
+    }
 
 
 def _idf_expr(df_map: dict, n: float):

@@ -80,6 +80,10 @@ POSITIONS_CACHE_TERMS = 1024
 BLOCK_META_CACHE_TERMS = 512
 BLOCK_CACHE_BLOCKS = 4096
 
+# query shapes (terms, conjunctive, k) proven unprunable and routed to
+# the exhaustive scorer — a few dozen bytes per entry
+WAND_PLAN_CACHE_SHAPES = 4096
+
 # dense per-doc score accumulator cap for BM25: below this doc-id span a
 # float64 scatter-add array (8 bytes/doc) beats sorting the concatenated
 # posting ids; above it (or with sparse ids beyond 4× n_docs) the
@@ -216,6 +220,8 @@ class LocalIndexReader:
         self._pos_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._blk_meta_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._blk_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        # (terms, conjunctive, k) shapes proven unprunable → exhaustive
+        self._wand_plan_cache: "OrderedDict[tuple, bool]" = OrderedDict()
         self._docs_pin: Optional[tuple] = None
         if self._want_pin_docs:
             self._pin_docs()
@@ -848,10 +854,27 @@ class LocalIndexReader:
         self.last_wand_stats = {
             "terms": 0, "blocks_total": 0, "surviving_blocks": 0,
             "global_surviving_blocks": 0, "blocks_read": 0,
-            "candidates": 0, "theta": 0.0,
+            "candidates": 0, "theta": 0.0, "fallback": None,
         }
         if not terms:
             return empty
+        # adaptive exhaustive fallback, cached per query shape: when a
+        # previous run of this (terms, conjunctive, k) shape proved that
+        # NO block is prunable (flat block maxima — the bench corpus's
+        # tiny uniform vocabulary is the worst case), the WAND machinery
+        # is pure overhead over exhaustive BM25 (results are identical by
+        # the pytest-gated equality), so repeat probes skip straight to
+        # :meth:`search_bm25`. Keyed on k too (θ shrinks with k) and only
+        # consulted without ``allowed_ids`` (a filter changes θ); the
+        # cache dies with the snapshot (cleared in ``_open``).
+        plan_key = (tuple(terms), conjunctive, k)
+        if allowed_ids is None and plan_key in self._wand_plan_cache:
+            self._wand_plan_cache.move_to_end(plan_key)
+            self.last_wand_stats["fallback"] = "exhaustive-cached"
+            return self.search_bm25(
+                text, k=k, conjunctive=conjunctive,
+                with_results=with_results,
+            )
         k1, b = self.config.bm25_k1, self.config.bm25_b
         n = float(self.corpus_stats["n_docs"])
         avgdl = float(self.corpus_stats["avgdl"]) or 1.0
@@ -942,6 +965,28 @@ class LocalIndexReader:
         if theta > 0.0 and len(scorable) > 1 and surv.any():
             surv &= self._range_refine(
                 scorable, m_terms, m_first, m_max, m_ub, theta, surv
+            )
+        if surv.all():
+            # adaptive fallback: θ cannot beat ANY block bound (even
+            # range-refined), so pruning would read every block anyway —
+            # decode-all + restricted rescore is strictly more work than
+            # the exhaustive fold over the same postings. Answer
+            # exhaustively (identical results, pytest-gated) and cache
+            # the shape so repeat probes skip the metadata/seed work.
+            if allowed_ids is None:
+                self._wand_plan_cache[plan_key] = True
+                while len(self._wand_plan_cache) > WAND_PLAN_CACHE_SHAPES:
+                    self._wand_plan_cache.popitem(last=False)
+            self.last_wand_stats.update(
+                terms=len(scorable), blocks_total=int(len(m_ub)),
+                surviving_blocks=int(len(m_ub)),
+                global_surviving_blocks=global_surv,
+                blocks_read=len(seed_keys), theta=theta,
+                fallback="exhaustive",
+            )
+            return self.search_bm25(
+                text, k=k, conjunctive=conjunctive,
+                allowed_ids=allowed_ids, with_results=with_results,
             )
         surv_keys = {
             (m_terms[i], int(m_first[i])) for i in np.flatnonzero(surv)

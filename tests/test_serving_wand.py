@@ -299,3 +299,63 @@ def test_serve_wand_on_mixed_format_index(spark, tmp_path):
             for r in engine.search_bm25(q, k=10, use_wand=True).collect()
         ]
         assert wand == exact, q
+
+
+def test_wand_adaptive_fallback_on_flat_corpus(spark, tmp_path):
+    """Uniform corpus (identical docs): every block bound equals θ, so
+    pruning can remove nothing — wand_topk must route to the exhaustive
+    scorer (live once, then through the cached plan shape) with results
+    still bitwise-equal, and a filtered call must bypass the cache (a
+    filter changes θ)."""
+    flat = [
+        {"url": f"https://flat/{i}", "title": "flat",
+         "text": "alpha beta gamma delta", "rank": i + 1}
+        for i in range(40)
+    ]
+    cfg = EngineConfig(score_weights=ScoreWeights(), block_size=4)
+    idx = tmp_path / "flat_idx"
+    build_fixture_engine(spark, flat, idx, config=cfg)
+    reader = LocalIndexReader(str(idx), config=cfg, pin_postings=False)
+    assert_wand_equal(reader, reader, "alpha beta", k=5)
+    s = dict(reader.last_wand_stats)
+    assert s["fallback"] == "exhaustive", s
+    assert s["blocks_total"] > 2, s
+    assert s["surviving_blocks"] == s["blocks_total"], s
+    assert_wand_equal(reader, reader, "alpha beta", k=5)
+    assert reader.last_wand_stats["fallback"] == "exhaustive-cached"
+    # filtered probes must NOT take the cached unfiltered plan blindly
+    # (θ over a gated doc set differs); results stay equal either way
+    assert_wand_equal(
+        reader, reader, "alpha beta", k=5, allowed_ids=[2, 4, 6]
+    )
+    # cache dies with the snapshot
+    reader.refresh(force=True)
+    assert len(reader._wand_plan_cache) == 0
+
+
+def test_wand_no_fallback_when_pruning_works(spark, tmp_path):
+    """Skewed corpus control: where blocks ARE pruned the adaptive check
+    must stay out of the way (fallback None, surviving < total)."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.transcripts import (
+        corpus_from_transcripts, synthesize_transcripts,
+    )
+
+    cfg = EngineConfig(
+        stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights(),
+        block_size=64,
+    )
+    tx = synthesize_transcripts(
+        spark, "/root/testdata/sf0.001/documents.parquet",
+        replicate=8, tail_vocab=400,
+    )
+    idx = str(tmp_path / "zipf_fb_idx")
+    build_index(spark, corpus_from_transcripts(tx), idx, config=cfg,
+                segments=2)
+    reader = LocalIndexReader(idx, config=cfg, pin_postings=False)
+    dfm = sorted(reader._df_map.items(), key=lambda kv: (-kv[1], kv[0]))
+    q = f"{dfm[0][0]} {dfm[-1][0]}"
+    assert_wand_equal(reader, reader, q)
+    s = reader.last_wand_stats
+    assert s["fallback"] is None, s
+    assert s["surviving_blocks"] < s["blocks_total"], s

@@ -220,3 +220,53 @@ def test_wand_lossless_under_avgdl_drift(spark, tmp_path_factory):
         prune = wand_prune_stats(engine, f"{head} {tail}", k=10)
         if factor == 1.0:
             assert prune["rounds"][-1]["pruned_fraction"] > 0.0, prune
+
+
+def test_wand_adaptive_fallback_flat_and_skewed(spark, tmp_path):
+    """Adaptive exhaustive fallback on the Spark path: a uniform corpus
+    (identical docs → every block bound equals θ) must report
+    would_fallback=True and wand_topk must still equal exhaustive BM25
+    (it routes to the same plan); a skewed corpus where pruning works
+    must report would_fallback=False."""
+    from conftest import build_fixture_engine
+    from search_engine_spark.operators.wand import (
+        wand_prune_stats, wand_topk,
+    )
+
+    flat = [
+        {"url": f"https://flat/{i}", "title": "flat",
+         "text": "alpha beta gamma delta", "rank": i + 1}
+        for i in range(40)
+    ]
+    cfg = EngineConfig(block_size=4)
+    engine = build_fixture_engine(
+        spark, flat, tmp_path / "flat_idx", config=cfg
+    )
+    st = wand_prune_stats(engine, "alpha beta", k=5)
+    assert st["would_fallback"] is True, st
+    assert rows(wand_topk(engine, "alpha beta", k=5)) == rows(
+        engine.search_bm25("alpha beta", k=5)
+    )
+    # warm path exercises the pinned min/cnt maps in the same check
+    engine.warm(pin_docs=False)
+    assert rows(wand_topk(engine, "alpha beta", k=5)) == rows(
+        engine.search_bm25("alpha beta", k=5)
+    )
+
+    zcfg = EngineConfig(stop_words=DEMO_STOP_WORDS, block_size=64)
+    tx = synthesize_transcripts(
+        spark, f"{SF_DIR}/documents.parquet", replicate=8, tail_vocab=400
+    )
+    zidx = str(tmp_path / "zipf_fb_idx")
+    build_index(
+        spark, corpus_from_transcripts(tx), zidx, config=zcfg, segments=2
+    )
+    zengine = SearchEngine(spark, zidx, config=zcfg)
+    dfm = sorted(
+        ((r["term"], r["df"]) for r in zengine.term_stats().collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    q = f"{dfm[0][0]} {dfm[-1][0]}"
+    zst = wand_prune_stats(zengine, q, k=10)
+    assert zst["would_fallback"] is False, zst
+    assert zst["rounds"][-1]["pruned_fraction"] > 0, zst
