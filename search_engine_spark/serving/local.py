@@ -397,6 +397,7 @@ class LocalIndexReader:
         text: str,
         max_count: int = 100,
         allowed_ids: Optional[Iterable[int]] = None,
+        arrays: Optional[dict] = None,
     ) -> pd.DataFrame:
         """Reference-parity free-text search; row- and order-identical to
         ``SearchEngine.search`` (tested). ``allowed_ids``: optional
@@ -410,7 +411,24 @@ class LocalIndexReader:
         ]
         if not lookup:
             return pd.DataFrame(columns=RESULT_COLUMNS)
-        cand = self._candidate_ids(words, quotes, lookup, allowed_ids)
+        cand = self._candidate_ids(
+            words, quotes, lookup, allowed_ids, arrays=arrays
+        )
+        return self._render_parity(words, quotes, lookup, cand, max_count)
+
+    def _render_parity(
+        self,
+        words: Sequence[str],
+        quotes: Sequence[int],
+        lookup: Sequence[str],
+        cand: np.ndarray,
+        max_count: int,
+    ) -> pd.DataFrame:
+        """Score + rank + snippet the candidate ids — the tail of
+        :meth:`search`, shared with the fleet coordinator
+        (``serving.fleet.FleetReader``), which computes candidates
+        across shards but renders through any one node (the docs table
+        is shared storage)."""
         scored = [
             (
                 doc_id,
@@ -440,6 +458,7 @@ class LocalIndexReader:
         quotes: Sequence[int],
         lookup: Sequence[str],
         allowed_ids: Optional[Iterable[int]],
+        arrays: Optional[dict] = None,
     ) -> np.ndarray:
         """Candidate generation ≡ SearchEngine.candidates: single-list
         fast path (quote predicate SKIPPED, engine.ts:398-404), k-way
@@ -448,7 +467,9 @@ class LocalIndexReader:
         terms = sorted({w.lower() for w in lookup})
         allowed = self._as_id_array(allowed_ids)
         if len(lookup) == 1:
-            arrays = self._term_arrays(terms)
+            arrays = (
+                arrays if arrays is not None else self._term_arrays(terms)
+            )
             ids = (
                 arrays[terms[0]][0]
                 if terms[0] in arrays
@@ -456,7 +477,7 @@ class LocalIndexReader:
             )
             ids = self._apply_allowed(ids, allowed)
             return ids[:INTERSECT_CAP]
-        ids = self._membership(terms)
+        ids = self._membership(terms, arrays=arrays)
         ids = self._apply_allowed(ids, allowed)
         if quotes:
             pairs, _ = _quote_pairs(words, quotes)
@@ -479,12 +500,16 @@ class LocalIndexReader:
             return ids
         return ids[np.isin(ids, allowed, assume_unique=False)]
 
-    def _membership(self, terms: Sequence[str]) -> np.ndarray:
+    def _membership(
+        self, terms: Sequence[str], arrays: Optional[dict] = None
+    ) -> np.ndarray:
         """Docs containing EVERY term: fold of merge-based intersections
         over the per-term posting id arrays (each ascending-unique by
         build-time dedup, B5), smallest list first so each step is
-        O(m log n) in the running intersection size m."""
-        arrays = self._term_arrays(terms)
+        O(m log n) in the running intersection size m. ``arrays``: the
+        fleet-merge hook — pre-merged per-term arrays replacing this
+        node's own slivers (serving/fleet.py)."""
+        arrays = arrays if arrays is not None else self._term_arrays(terms)
         if len(arrays) < len(terms):
             return np.empty(0, dtype="int64")
         per = sorted((arrays[t][0] for t in terms), key=len)
@@ -557,34 +582,48 @@ class LocalIndexReader:
 
     # -- BM25 (scale path) -------------------------------------------------------
 
-    def search_bm25(
-        self,
-        text: str,
-        k: int = 10,
-        conjunctive: bool = False,
-        allowed_ids: Optional[Iterable[int]] = None,
-        with_results: bool = False,
+    def _render_bm25(
+        self, out: pd.DataFrame, words: Sequence[str],
+        quotes: Sequence[int],
     ) -> pd.DataFrame:
-        """BM25 top-k ≡ ``operators.bm25.bm25_topk`` (Lucene idf; per-doc
-        sum folded in sorted-term order, matching the Spark path's
-        deterministic aggregate — scores agree to 1 ULP, ranks exactly;
-        ties break on ascending doc_id). ``with_results`` appends the
-        (title, introduction, url)
-        projection over the ≤k ranked ids, like
-        ``SearchEngine.search_bm25(with_results=True)``."""
-        words, quotes = tokenize(text)
-        terms = sorted({
-            w.lower()
-            for w in words
-            if not is_stop_word(w, self.config.stop_words)
-        })
-        empty_cols = BM25_RESULT_COLUMNS if with_results else BM25_COLUMNS
-        if not terms:
-            return pd.DataFrame(columns=empty_cols)
+        """(title, introduction, url) projection over <=k ranked BM25
+        rows — shared by search_bm25, wand_topk, and the fleet merge
+        (any node can render: the docs table is shared storage)."""
+        fetched = {
+            doc: (title, url, pwords)
+            for doc, title, url, pwords in self._fetch(
+                out["doc_id"].to_numpy()
+            )
+        }
+        rows = []
+        for r in out.itertuples(index=False):
+            title, url, pwords = fetched[int(r.doc_id)]
+            rows.append((
+                int(r.doc_id), float(r.score), int(r.n_terms), title,
+                construct_introduction(words, quotes, pwords), url,
+            ))
+        return pd.DataFrame(rows, columns=BM25_RESULT_COLUMNS)
+
+    def bm25_accumulators(
+        self, terms: Sequence[str], arrays: Optional[dict] = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-doc partial BM25 sums over THIS reader's postings for the
+        given sorted term list: ``(doc_ids asc, partial_scores,
+        matched_term_counts)``. The building block of both
+        :meth:`search_bm25` (single node = whole index) and the
+        term-range-sharded fleet merge (``serving.fleet.FleetReader``):
+        a fleet partitions the posting FILES across shards, so each
+        (term, doc) posting row lives in exactly one shard and summing
+        the shards' accumulators in shard (= term-range) order
+        reproduces the single-reader sorted-term fold bit-for-bit.
+        Scoring uses corpus-GLOBAL df/avgdl/N (the full term_stats table
+        every node opens) — sharding narrows which postings a node
+        holds, never what the corpus looks like."""
+        empty = np.empty(0, dtype="int64")
         k1, b = self.config.bm25_k1, self.config.bm25_b
         n = float(self.corpus_stats["n_docs"])
         avgdl = float(self.corpus_stats["avgdl"]) or 1.0
-        arrays = self._term_arrays(terms)
+        arrays = arrays if arrays is not None else self._term_arrays(terms)
         id_chunks: list[np.ndarray] = []
         sc_chunks: list[np.ndarray] = []
         for t in terms:  # sorted-term order = the Spark fold's add order
@@ -606,7 +645,7 @@ class LocalIndexReader:
             id_chunks.append(ids)
             sc_chunks.append(sc)
         if not id_chunks:
-            return pd.DataFrame(columns=empty_cols)
+            return empty, np.empty(0), np.empty(0, dtype="int64")
         max_id = max(int(ids[-1]) for ids in id_chunks)  # each asc
         if max_id <= max(4 * int(n), DENSE_SCORE_MAX_DOCS // 8) and \
                 max_id <= DENSE_SCORE_MAX_DOCS:
@@ -620,16 +659,44 @@ class LocalIndexReader:
                 acc[ids] += sc
                 cnt[ids] += 1
             uniq = np.flatnonzero(cnt)
-            scores = acc[uniq]
-            counts = cnt[uniq]
-        else:
-            # sparse doc ids (a fleet shard's slice of a 10^12-doc
-            # space): sort-based merge, no dense allocation
-            all_ids = np.concatenate(id_chunks)
-            all_sc = np.concatenate(sc_chunks)
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            scores = np.bincount(inv, weights=all_sc, minlength=len(uniq))
-            counts = np.bincount(inv, minlength=len(uniq))
+            return uniq, acc[uniq], cnt[uniq]
+        # sparse doc ids (a fleet shard's slice of a 10^12-doc space):
+        # sort-based merge, no dense allocation
+        all_ids = np.concatenate(id_chunks)
+        all_sc = np.concatenate(sc_chunks)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.bincount(inv, weights=all_sc, minlength=len(uniq))
+        counts = np.bincount(inv, minlength=len(uniq))
+        return uniq, scores, counts
+
+    def search_bm25(
+        self,
+        text: str,
+        k: int = 10,
+        conjunctive: bool = False,
+        allowed_ids: Optional[Iterable[int]] = None,
+        with_results: bool = False,
+        arrays: Optional[dict] = None,
+    ) -> pd.DataFrame:
+        """BM25 top-k ≡ ``operators.bm25.bm25_topk`` (Lucene idf; per-doc
+        sum folded in sorted-term order, matching the Spark path's
+        deterministic aggregate — scores agree to 1 ULP, ranks exactly;
+        ties break on ascending doc_id). ``with_results`` appends the
+        (title, introduction, url)
+        projection over the ≤k ranked ids, like
+        ``SearchEngine.search_bm25(with_results=True)``."""
+        words, quotes = tokenize(text)
+        terms = sorted({
+            w.lower()
+            for w in words
+            if not is_stop_word(w, self.config.stop_words)
+        })
+        empty_cols = BM25_RESULT_COLUMNS if with_results else BM25_COLUMNS
+        if not terms:
+            return pd.DataFrame(columns=empty_cols)
+        uniq, scores, counts = self.bm25_accumulators(terms, arrays=arrays)
+        if len(uniq) == 0:
+            return pd.DataFrame(columns=empty_cols)
         keep = np.ones(len(uniq), dtype=bool)
         if conjunctive:
             keep &= counts == len(terms)
@@ -645,20 +712,7 @@ class LocalIndexReader:
         })
         if not with_results:
             return out
-        fetched = {
-            doc: (title, url, pwords)
-            for doc, title, url, pwords in self._fetch(
-                out["doc_id"].to_numpy()
-            )
-        }
-        rows = []
-        for r in out.itertuples(index=False):
-            title, url, pwords = fetched[int(r.doc_id)]
-            rows.append((
-                int(r.doc_id), float(r.score), int(r.n_terms), title,
-                construct_introduction(words, quotes, pwords), url,
-            ))
-        return pd.DataFrame(rows, columns=BM25_RESULT_COLUMNS)
+        return self._render_bm25(out, words, quotes)
 
     # -- Block-Max WAND (cold-mode scale path) ---------------------------------
 
@@ -1049,20 +1103,7 @@ class LocalIndexReader:
         })
         if not with_results:
             return out
-        fetched = {
-            doc: (title, url, pwords)
-            for doc, title, url, pwords in self._fetch(
-                out["doc_id"].to_numpy()
-            )
-        }
-        rows = []
-        for r in out.itertuples(index=False):
-            title, url, pwords = fetched[int(r.doc_id)]
-            rows.append((
-                int(r.doc_id), float(r.score), int(r.n_terms), title,
-                construct_introduction(words, quotes, pwords), url,
-            ))
-        return pd.DataFrame(rows, columns=BM25_RESULT_COLUMNS)
+        return self._render_bm25(out, words, quotes)
 
     @staticmethod
     def _range_refine(

@@ -41,7 +41,8 @@ def test_daemon_batches_and_answers(planets_index):
         planets_index,
         ["jupiter", "", "saturn giant", "nosuchterm"],  # blank line skipped
     )
-    assert msgs[0] == {"type": "ready", "docs": 2, "tier": "spark"}
+    assert msgs[0] == {"type": "ready", "docs": 2, "tier": "spark",
+                   "shards": 1}
     results = [m for m in msgs if m["type"] == "result"]
     stats = [m for m in msgs if m["type"] == "batch_stats"]
     # the piped burst was pending before the first drain -> ONE batch
@@ -83,7 +84,8 @@ def test_daemon_local_tier(planets_index):
         ["jupiter", "saturn giant", "nosuchterm"],
         ("--tier", "local"),
     )
-    assert msgs[0] == {"type": "ready", "docs": 2, "tier": "local"}
+    assert msgs[0] == {"type": "ready", "docs": 2, "tier": "local",
+                   "shards": 1}
     by_query = {m["query"]: m for m in msgs if m["type"] == "result"}
     assert {h["url"] for h in by_query["jupiter"]["hits"]} == {
         "https://en.wikipedia.org/wiki/Jupiter",
@@ -186,3 +188,48 @@ def test_daemon_refresh_auto(spark, tmp_path):
         proc.stdin.close()
         proc.wait(timeout=60)
     assert proc.returncode == 0, proc.stderr.read()[-3000:]
+
+
+def test_daemon_local_tier_fleet(spark, tmp_path):
+    """--shards 2 routes the local tier through a term-range fleet
+    (serving/fleet.py) — the serving protocol is shard-count-
+    transparent: identical hits to the single-reader local tier, for
+    parity search AND bm25. Needs an index with >=2 postings files, so
+    it builds its own corpus instead of the 2-doc planets fixture."""
+    from search_engine_spark.config import (
+        DEMO_STOP_WORDS, EngineConfig, ScoreWeights,
+    )
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.transcripts import (
+        corpus_from_transcripts, synthesize_transcripts,
+    )
+
+    cfg = EngineConfig(
+        stop_words=DEMO_STOP_WORDS, score_weights=ScoreWeights()
+    )
+    idx = tmp_path / "fleet_daemon_idx"
+    tx = synthesize_transcripts(
+        spark, "/root/testdata/sf0.001/documents.parquet", replicate=2
+    )
+    build_index(
+        spark, corpus_from_transcripts(tx), str(idx), config=cfg,
+        segments=2,
+    )
+    queries = ["window merge", "filter join window", "nosuchterm"]
+    single = run_daemon(idx, queries, ("--tier", "local"))
+    fleet = run_daemon(
+        idx, queries, ("--tier", "local", "--shards", "2")
+    )
+    assert fleet[0]["type"] == "ready" and fleet[0]["shards"] == 2
+    assert fleet[0]["docs"] == single[0]["docs"]
+    one = {m["query"]: m["hits"] for m in single if m["type"] == "result"}
+    two = {m["query"]: m["hits"] for m in fleet if m["type"] == "result"}
+    assert one == two
+
+    sb = run_daemon(idx, queries, ("--tier", "local", "--bm25"))
+    fb = run_daemon(
+        idx, queries, ("--tier", "local", "--bm25", "--shards", "2")
+    )
+    one = {m["query"]: m["hits"] for m in sb if m["type"] == "result"}
+    two = {m["query"]: m["hits"] for m in fb if m["type"] == "result"}
+    assert one == two

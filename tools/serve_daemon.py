@@ -40,6 +40,11 @@ Tiers (--tier):
                    JVM — single-probe answers in ~3-20 ms each (the
                    latency tier; batching is irrelevant, each query is
                    served as it arrives within the drained batch).
+                   With --shards N the same tier runs as a term-range
+                   FLEET (serving/fleet.py): N readers over symlinked
+                   term-range views of the index, coordinator-merged —
+                   identical answers at any shard count (the serving
+                   protocol is shard-transparent; pytest-gated).
 
 Usage:
     python tools/serve_daemon.py <index_dir> [--bm25] [--k 10]
@@ -159,6 +164,10 @@ def main() -> None:
     ap.add_argument("--linger-ms", type=float, default=50.0)
     ap.add_argument("--master", default=None)
     ap.add_argument("--tier", choices=("spark", "local"), default="spark")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="local tier only: serve through a term-range "
+                         "fleet of N readers over symlinked shard views "
+                         "of the index (identical answers at any N)")
     ap.add_argument("--wand", action="store_true",
                     help="local tier only: BM25 via block-pruned "
                          "Block-Max WAND (identical results, block-"
@@ -174,15 +183,32 @@ def main() -> None:
     if args.wand and args.tier != "local":
         ap.error("--wand requires --tier local (the Spark tier serves "
                  "ranked batches through the fused bm25 plan)")
+    if args.shards > 1 and args.tier != "local":
+        ap.error("--shards requires --tier local")
+    if args.shards > 1 and args.wand:
+        ap.error("--wand is per-node; the fleet coordinator serves the "
+                 "merged exhaustive slivers (identical results)")
 
     cfg = EngineConfig(stop_words=DEMO_STOP_WORDS,
                        score_weights=ScoreWeights())
+    shard_tmp = None
     if args.tier == "local":
-        from search_engine_spark.serving import LocalIndexReader
+        from search_engine_spark.serving import (
+            FleetReader, LocalIndexReader, make_term_shards,
+        )
 
         engine = None
-        reader = LocalIndexReader(args.index_dir, config=cfg,
-                                  pin_docs=True)
+        if args.shards > 1:
+            import tempfile
+
+            shard_tmp = tempfile.mkdtemp(prefix="serve_shards_")
+            reader = FleetReader(
+                make_term_shards(args.index_dir, shard_tmp, args.shards),
+                config=cfg, pin_docs=True,
+            )
+        else:
+            reader = LocalIndexReader(args.index_dir, config=cfg,
+                                      pin_docs=True)
         n_docs = reader.count()
     else:
         spark = get_spark(master=args.master)
@@ -191,7 +217,8 @@ def main() -> None:
         n_docs = engine.count()
     out = sys.stdout
     print(json.dumps({"type": "ready", "docs": n_docs,
-                      "tier": args.tier}), flush=True)
+                      "tier": args.tier, "shards": args.shards}),
+          flush=True)
 
     q: "queue.Queue" = queue.Queue()
     threading.Thread(target=_reader, args=(q,), daemon=True).start()
@@ -245,6 +272,10 @@ def main() -> None:
             batch_no += 1
         if eof:
             break
+    if shard_tmp is not None:
+        import shutil
+
+        shutil.rmtree(shard_tmp, ignore_errors=True)  # symlink views only
 
 
 if __name__ == "__main__":
