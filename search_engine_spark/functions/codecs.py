@@ -113,7 +113,11 @@ def png_decode(data: bytes) -> np.ndarray:
     idat = bytearray()
     w = h = ch = None
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated chunk")
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)

@@ -301,17 +301,31 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+            cols = {
+                "media_id": np.empty(len(pdf), dtype="int64"),
+                "width": np.empty(len(pdf), dtype="int32"),
+                "height": np.empty(len(pdf), dtype="int32"),
+                "n_pixels": np.empty(len(pdf), dtype="int64"),
+                "pixel_sum": np.empty(len(pdf), dtype="int64"),
+                "channel_mean": np.empty(len(pdf), dtype="float64"),
+            }
+            # typed columns up front (not list-of-tuples): an EMPTY
+            # Arrow batch then yields correctly-dtyped empty columns
+            # instead of relying on lenient object->long coercion
+            for i, (mid, blob) in enumerate(
+                zip(pdf["media_id"], pdf["payload"])
+            ):
                 img = codecs.png_decode(bytes(blob))
                 h, w, ch = img.shape
                 ps = int(img.sum(dtype=np.int64))
                 npx = w * h * ch
-                rows.append((int(mid), w, h, npx, ps, ps / npx))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "width", "height", "n_pixels",
-                         "pixel_sum", "channel_mean"],
-            )
+                cols["media_id"][i] = int(mid)
+                cols["width"][i] = w
+                cols["height"][i] = h
+                cols["n_pixels"][i] = npx
+                cols["pixel_sum"][i] = ps
+                cols["channel_mean"][i] = ps / npx
+            yield pd.DataFrame(cols)
 
     return (
         media.mapInPandas(

@@ -27,6 +27,7 @@ Quirks deliberately reproduced for rank-identity (SURVEY.md §7.4):
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Iterator, Optional, Sequence
 
 import pandas as pd
@@ -36,6 +37,23 @@ from pyspark.sql import types as T
 
 from ..config import ScoreWeights
 from ..functions.tokenizer import tokenize
+
+
+@lru_cache(maxsize=65536)
+def _title_tokens(title: str) -> tuple[str, ...]:
+    """Lowercased title token tuple — a pure function of the title
+    string, cached because the scorer sees the same ≤100 candidate
+    titles on every repeat of a hot query (serve tier) and per Arrow
+    batch (Spark tier). Tuple, so the cache can never be mutated."""
+    return tuple(tokenize(title, lower_case=True).words)
+
+
+@lru_cache(maxsize=65536)
+def _url_pattern(word: str):
+    """Compiled quirk-1 url regex for one query word (the word is
+    inserted RAW, exactly like the reference's template string — a word
+    that happens to be an invalid regex raises, as engine.ts would)."""
+    return re.compile("(?![wd])" + word + "(?![wd])", re.IGNORECASE)
 
 
 def score_page(
@@ -49,24 +67,29 @@ def score_page(
 
     ``query_words`` is the stop-word-filtered query word list in original
     case (``wordsWithoutStopWords``, engine.ts:109-111,138).
+
+    The reference builds a full first-occurrence map of the page stream
+    and counts query positions i whose word first occurs AT i
+    (engine.ts:174-185). ``first_occ[w] == i`` holds iff
+    ``page_words[i].lower() == w`` and w does not appear among the
+    lowered ``page_words[:i]`` — both conditions touch only the first
+    ``len(query_words)`` page tokens, so the scan below over that prefix
+    is exactly equivalent to the reference's whole-page map (the
+    describe-block suites pin rank identity) at O(|query|²) instead of
+    O(|page|) per candidate.
     """
     if weights is None:
         return 0.0
 
-    # first occurrence of each lowercased token in the page stream
-    first_occ: dict[str, int] = {}
-    for i, w in enumerate(page_words):
+    n_q = len(query_words)
+    prefix = [w.lower() for w in page_words[:n_q]]
+    matches = 0
+    for i, w in enumerate(query_words):
         lw = w.lower()
-        if lw not in first_occ:
-            first_occ[lw] = i
+        if i < len(prefix) and prefix[i] == lw and lw not in prefix[:i]:
+            matches += 1
 
-    matches = sum(
-        1
-        for i, w in enumerate(query_words)
-        if first_occ.get(w.lower()) == i
-    )
-
-    title_words = tokenize(title, lower_case=True).words
+    title_words = _title_tokens(title)
     exact = matches == len(title_words)
     begins = matches > 0
     # quirk 3: case-sensitive indexOf + lexicographic sort
@@ -86,9 +109,7 @@ def score_page(
 
     # quirk 1: the effective (buggy) url pattern, case-insensitive
     n_match = sum(
-        1
-        for w in query_words
-        if re.search("(?![wd])" + w + "(?![wd])", url, re.IGNORECASE)
+        1 for w in query_words if _url_pattern(w).search(url)
     )
     if n_match >= len(query_words):
         score += weights.url_contains

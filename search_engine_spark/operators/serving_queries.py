@@ -26,14 +26,37 @@ from ..config import EngineConfig
 
 # one persisted index per sf_dir per process — the build is the setup
 # cost, every entry after the first reuses it (same lifecycle as the
-# bench's index_dir)
+# bench's index_dir). The atexit hook removes the temp dirs when the
+# process ends, so repeated sweeps in long-lived sessions don't
+# accumulate orphan index dirs under /tmp; ``teardown_serve_indexes``
+# is the explicit variant for harnesses that want it sooner.
 _INDEX_CACHE: dict[str, str] = {}
+_URL_MAP_CACHE: dict[str, dict] = {}
+
+
+def teardown_serve_indexes() -> None:
+    """Delete every cached serve-tier index dir and drop the caches."""
+    import shutil
+
+    for idx in _INDEX_CACHE.values():
+        shutil.rmtree(idx, ignore_errors=True)
+    _INDEX_CACHE.clear()
+    _URL_MAP_CACHE.clear()
+
+
+_atexit_registered = False
 
 
 def _serve_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _INDEX_CACHE.get(sf_dir)
     if idx is not None:
         return idx
+    global _atexit_registered
+    if not _atexit_registered:
+        import atexit
+
+        atexit.register(teardown_serve_indexes)
+        _atexit_registered = True
     from .index_build import build_index
 
     idx = tempfile.mkdtemp(prefix="serve_tier_idx_")
@@ -53,16 +76,23 @@ def _serve_index(spark: SparkSession, sf_dir: str) -> str:
 
 def _url_map(idx: str) -> dict:
     """index doc_id → original documents doc_id (via the url column),
-    read without Spark like any serving-node lookup table."""
+    read without Spark like any serving-node lookup table; cached per
+    index dir (the indexes themselves are process-cached and
+    immutable)."""
+    cached = _URL_MAP_CACHE.get(idx)
+    if cached is not None:
+        return cached
     import pyarrow.dataset as ds
 
     t = ds.dataset(f"{idx}/docs", format="parquet", partitioning="hive").to_table(
         columns=["doc_id", "url"]
     )
-    return {
+    out = {
         int(d): int(u)
         for d, u in zip(t["doc_id"].to_pylist(), t["url"].to_pylist())
     }
+    _URL_MAP_CACHE[idx] = out
+    return out
 
 
 def q_serve_tier_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -563,12 +563,18 @@ class LocalIndexReader:
             return []
         if self._docs_pin is not None:
             d_ids, titles, urls, words = self._docs_pin
-            out = []
-            for doc in ids:
-                i = int(np.searchsorted(d_ids, doc))
-                if i < len(d_ids) and d_ids[i] == doc:
-                    out.append((int(doc), titles[i], urls[i], words[i]))
-            return out
+            if len(d_ids) == 0:
+                return []
+            ids = np.asarray(ids, dtype="int64")
+            pos = np.searchsorted(d_ids, ids)
+            np.clip(pos, 0, len(d_ids) - 1, out=pos)
+            hit = d_ids[pos] == ids
+            return [
+                (int(doc), titles[i], urls[i], words[i])
+                for doc, i in zip(
+                    ids[hit].tolist(), pos[hit].tolist()
+                )
+            ]
         tbl = self._docs_ds.to_table(
             filter=pc.field("doc_id").isin([int(x) for x in ids]),
             columns=["doc_id", "title", "url", "words"],

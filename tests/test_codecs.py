@@ -157,3 +157,19 @@ def test_spark_audio_frames_match_local(spark, tmp_path):
     # only even frame indices survive sampling, odd-doc ids only
     assert all(r["frame_idx"] % mm.AUD_FRAME_EVERY == 0 for r in rows)
     assert all(r["media_id"] % 2 == 1 for r in rows)
+
+
+def test_png_decode_rejects_truncated_input():
+    """Truncated/malformed chunk streams must raise a clean ValueError
+    (not struct.error or a silent short-slice that only CRC catches)."""
+    import numpy as np
+    import pytest
+
+    from search_engine_spark.functions import codecs
+
+    blob = codecs.png_encode(
+        np.arange(48, dtype="uint8").reshape(4, 4, 3)
+    )
+    for cut in (9, 15, len(blob) - 5):
+        with pytest.raises(ValueError, match="truncated"):
+            codecs.png_decode(blob[:cut])
