@@ -36,6 +36,28 @@ from search_engine_spark.sources.transcripts import (
     synthesize_transcripts,
 )
 
+def _cpu_ticks() -> tuple | None:
+    """(steal, total) jiffies snapshot from /proc/stat's aggregate cpu
+    line — the co-tenant CPU-steal evidence BENCH.md's noise notes rely
+    on, now sampled around every build rep so each timing carries its
+    own interference measurement."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if not before or not after:
+        return None
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 1) if dt > 0 else None
+
+
 HEADLINE_QUERIES = {
     # reference-parity path (conjunctive AND, scored, snippets)
     "search_conjunctive": lambda e: e.search("window merge", max_count=10),
@@ -75,28 +97,36 @@ def run(master: str | None = None, sf_dir: str | None = None,
     index_dir = out_dir or tempfile.mkdtemp(prefix="bench_idx_")
     shutil.rmtree(index_dir, ignore_errors=True)
 
-    # Best-of-N build reps INSIDE the driver invocation: this host has
-    # ±20-45% co-tenant CPU steal (NOTES.md), so a single-shot build time
-    # conflates engine cost with whoever else is on the box. Running the
-    # identical build twice back-to-back and reporting best-of (plus every
-    # per-rep number in detail.build_all_runs_sec) makes the driver-visible
-    # artifact self-contained — the same methodology tools/scaling_bench.py
-    # already uses for the scaling levels.
-    build_reps = max(1, int(os.environ.get("BENCH_BUILD_REPS", "2")))
+    # Build-noise protocol (fixed, r05): this host has bursty 0-70%
+    # co-tenant CPU steal (NOTES.md), so a single-shot build time
+    # conflates engine cost with whoever else is on the box. The
+    # identical build runs BENCH_BUILD_REPS times; the FIRST run is
+    # discarded as the cold-JVM warmup (it has paid class-loading /
+    # codegen costs no steady-state build pays — the one 100.8 s
+    # outlier in r04 was exactly this), and the headline is the MEDIAN
+    # of the remaining runs, each annotated with the CPU-steal fraction
+    # measured around it (/proc/stat). Every per-rep number rides in
+    # detail.build_all_runs_sec / build_steal_pct so the artifact is
+    # self-contained.
+    build_reps = max(1, int(os.environ.get("BENCH_BUILD_REPS", "3")))
     tx = synthesize_transcripts(
         spark, f"{sf_dir}/documents.parquet", replicate=replicate
     )
     corpus = corpus_from_transcripts(tx)
     build_runs: list[float] = []
+    build_steal: list = []
     result = None
     for rep in range(build_reps):
         shutil.rmtree(index_dir, ignore_errors=True)
+        tick0 = _cpu_ticks()
         t0 = time.time()
         result = build_index(
             spark, corpus, index_dir, config=cfg, segments=segments
         )
         build_runs.append(time.time() - t0)
-    build_sec = min(build_runs)
+        build_steal.append(_steal_pct(tick0, _cpu_ticks()))
+    steady = build_runs[1:] if len(build_runs) > 1 else build_runs
+    build_sec = statistics.median(steady)
 
     engine = SearchEngine(spark, index_dir, config=cfg)
     t_warm = time.time()
@@ -231,6 +261,77 @@ def run(master: str | None = None, sf_dir: str | None = None,
                         st["p50_ms"] / 1000, 4
                     )
             shutil.rmtree(ref_dir, ignore_errors=True)
+
+    # skewed-vocabulary WAND headline point: the flat synthetic corpus
+    # is the WORST case for block-max pruning (near-uniform block maxima
+    # — the adaptive fallback now answers it at exhaustive-BM25 cost,
+    # visible in serve_local.wand_stats.fallback above); THIS row is the
+    # design-case evidence the driver artifact carries — a deterministic
+    # Zipf tail (sources/transcripts.py tail_vocab) where θ beats block
+    # bounds and pruning does real work, with inline losslessness vs the
+    # exhaustive serve-tier BM25 on the same index.
+    if serve_stats is not None and             os.environ.get("BENCH_WAND_SKEW", "1") == "1":
+        from search_engine_spark.serving import LocalIndexReader
+
+        skew_dir = tempfile.mkdtemp(prefix="bench_skew_")
+        shutil.rmtree(skew_dir, ignore_errors=True)
+        skew_tx = synthesize_transcripts(
+            spark, f"{sf_dir}/documents.parquet", replicate=10,
+            tail_vocab=1000,
+        )
+        build_index(
+            spark, corpus_from_transcripts(skew_tx), skew_dir,
+            config=cfg, segments=segments,
+        )
+        skew_reader = LocalIndexReader(
+            skew_dir, config=cfg, pin_postings=False
+        )
+        dfm = sorted(
+            skew_reader._df_map.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        head = dfm[0][0]
+        rare_tail = next(
+            t for t, _ in reversed(dfm) if t.startswith("tail_")
+        )
+        qskew = f"{head} {rare_tail}"
+        exact = skew_reader.search_bm25(qskew, k=10)
+        wand_pdf = skew_reader.wand_topk(qskew, k=10)
+        lossless = (
+            list(exact["doc_id"]) == list(wand_pdf["doc_id"])
+            and list(exact["score"]) == list(wand_pdf["score"])
+        )
+        st = dict(skew_reader.last_wand_stats)
+        skew_samples: list[float] = []
+        bm_samples: list[float] = []
+        for _ in range(int(os.environ.get("BENCH_SERVE_REPS", "20"))):
+            tq = time.time()
+            skew_reader.wand_topk(qskew, k=10)
+            skew_samples.append(time.time() - tq)
+            tq = time.time()
+            skew_reader.search_bm25(qskew, k=10)
+            bm_samples.append(time.time() - tq)
+        skew_samples.sort()
+        bm_samples.sort()
+        wand_p50 = statistics.median(skew_samples)
+        serve_stats["wand_skew"] = {
+            "query_shape": "head + rare tail term, tail_vocab=1000",
+            "n_turns": skew_reader.count(),
+            "lossless": lossless,
+            "blocks_total": st["blocks_total"],
+            "surviving_blocks": st["surviving_blocks"],
+            "pruned_fraction": round(
+                1.0 - st["surviving_blocks"] / max(1, st["blocks_total"]),
+                4,
+            ),
+            "blocks_read": st["blocks_read"],
+            "fallback": st["fallback"],
+            "wand_p50_ms": round(1000 * wand_p50, 3),
+            "exhaustive_bm25_p50_ms": round(
+                1000 * statistics.median(bm_samples), 3
+            ),
+        }
+        timings["serve_skew_wand_topk"] = round(wand_p50, 4)
+        shutil.rmtree(skew_dir, ignore_errors=True)
 
     # batch serving throughput: N queries fused into ONE plan
     # (operators/batch.py) — the 100 TB serving shape, where the Spark
@@ -489,6 +590,8 @@ def run(master: str | None = None, sf_dir: str | None = None,
             "n_postings": result.n_postings,
             "build_turns_per_sec": round(result.n_docs / max(build_sec, 1e-9), 1),
             "build_all_runs_sec": [round(s, 3) for s in build_runs],
+            "build_steal_pct": build_steal,
+            "build_protocol": "discard first (cold JVM), median of rest",
             "build_reps": build_reps,
             "warm_sec": round(warm_sec, 3),
             "latency": lat_ms,
@@ -525,8 +628,9 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
         "queries": out["queries"],
         "detail": {
             "n_turns": d["n_turns"],
-            "build_sec_best": out["queries"]["index_build"],
+            "build_sec_median": out["queries"]["index_build"],
             "build_all_runs_sec": d["build_all_runs_sec"],
+            "build_steal_pct": d.get("build_steal_pct"),
             "build_turns_per_sec": d["build_turns_per_sec"],
             "p95_ms": {q: v["p95_ms"] for q, v in lat.items()},
             "detail_file": detail_file,
@@ -548,12 +652,11 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
             ] = lp["bm25_amortized_ms_per_query"]
     sv = d.get("serve_local")
     if sv:
+        # compact keeps the pinned + reference-scale p50s (the parity
+        # comparison); the cold_docs mode and p95s live in the sidecar
         summary["detail"]["serve_local_ms"] = {
             "pinned_p50": {
                 q: v["p50_ms"] for q, v in sv["pinned"].items()
-            },
-            "cold_docs_p50": {
-                q: v["p50_ms"] for q, v in sv["cold_docs"].items()
             },
             "open_sec": sv["open_sec"],
         }
@@ -564,6 +667,17 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
                 for q, v in rs.items()
                 if isinstance(v, dict)
             }
+        ws = sv.get("wand_skew")
+        if ws:
+            summary["detail"]["wand_skew"] = {
+                "pruned_fraction": ws["pruned_fraction"],
+                "lossless": ws["lossless"],
+                "wand_p50_ms": ws["wand_p50_ms"],
+                "bm25_p50_ms": ws["exhaustive_bm25_p50_ms"],
+            }
+        flat = (sv.get("wand_stats") or {}).get("fallback")
+        if flat is not None:
+            summary["detail"]["flat_wand_fallback"] = flat
     s = d.get("stream_serving")
     if s:
         summary["detail"]["stream"] = {
@@ -594,8 +708,11 @@ def compact_summary(out: dict, detail_file: str | None) -> dict:
         pass
     # hard size guard: the driver tail-captures ~2000 chars — degrade by
     # dropping the least essential blocks rather than ever exceeding it
-    for drop in ("p95_ms", "batch_ms_per_q", "stream", "serve_local_ms"):
-        if len(json.dumps(summary, separators=(",", ":"))) <= 1500:
+    # (steal%, the skew-WAND row and the fallback marker are the r05
+    # evidence the artifact must carry, so they drop LAST)
+    for drop in ("p95_ms", "stream", "batch_ms_per_q", "serve_local_ms",
+                 "wand_skew", "build_steal_pct", "flat_wand_fallback"):
+        if len(json.dumps(summary, separators=(",", ":"))) <= 1800:
             break
         summary["detail"].pop(drop, None)
     return summary
