@@ -77,6 +77,11 @@ def run_level(master: str, threads: int, sf_dir: str, pyfiles: str) -> dict:
             # latency (the BENCH.md table); wand prune-stats and the
             # batch/stream serving stages measure the engine, not the
             # cluster-size delta, and cost minutes per 2-core N run
+            # 2 builds per child: the first is the discarded cold-JVM
+            # warmup under bench.py's r05 protocol, so each child
+            # reports one WARM build — the harness's own interleaved
+            # reps then compare warm numbers across levels
+            "BENCH_BUILD_REPS": os.environ.get("BENCH_BUILD_REPS", "2"),
             "BENCH_WAND": os.environ.get("BENCH_WAND", "0"),
             "BENCH_BATCH": os.environ.get("BENCH_BATCH", "0"),
             "BENCH_STREAM": os.environ.get("BENCH_STREAM", "0"),
