@@ -275,13 +275,21 @@ def run(master: str | None = None, sf_dir: str | None = None,
 
         skew_dir = tempfile.mkdtemp(prefix="bench_skew_")
         shutil.rmtree(skew_dir, ignore_errors=True)
+        # tail_stride=256 gives the tail terms ingest-order topical
+        # locality (a topic burst = consecutive events), and the build
+        # orders by EVENT TIME so that locality survives into the
+        # doc-id space — the structure doc-range block bounds exploit.
+        # Without it (stride=1, uniform residues) every term's blocks
+        # span the whole doc-id space and range pruning is structurally
+        # starved at any df — measured and documented in BENCH.md.
         skew_tx = synthesize_transcripts(
             spark, f"{sf_dir}/documents.parquet", replicate=10,
-            tail_vocab=1000,
+            tail_vocab=1000, tail_stride=256,
         )
         build_index(
             spark, corpus_from_transcripts(skew_tx), skew_dir,
             config=cfg, segments=segments,
+            order_cols=("ts", "conv_id", "turn_idx"),
         )
         skew_reader = LocalIndexReader(
             skew_dir, config=cfg, pin_postings=False
@@ -290,8 +298,17 @@ def run(master: str | None = None, sf_dir: str | None = None,
             skew_reader._df_map.items(), key=lambda kv: (-kv[1], kv[0])
         )
         head = dfm[0][0]
+        # rare-but-not-degenerate tail: the smallest df still >= 10k, so
+        # the true top-k is tail-dominated and θ clears the flat
+        # head-only bound. A tail with df < k leaves θ at the head level
+        # — honestly unprunable (the adaptive fallback's case), which
+        # would showcase the wrong regime here.
+        tail_by_df = sorted(
+            (df, t) for t, df in skew_reader._df_map.items()
+            if t.startswith("tail_")
+        )
         rare_tail = next(
-            t for t, _ in reversed(dfm) if t.startswith("tail_")
+            (t for df, t in tail_by_df if df >= 100), tail_by_df[-1][1]
         )
         qskew = f"{head} {rare_tail}"
         exact = skew_reader.search_bm25(qskew, k=10)
@@ -314,7 +331,8 @@ def run(master: str | None = None, sf_dir: str | None = None,
         bm_samples.sort()
         wand_p50 = statistics.median(skew_samples)
         serve_stats["wand_skew"] = {
-            "query_shape": "head + rare tail term, tail_vocab=1000",
+            "query_shape": "head + clustered tail term, "
+                           "tail_vocab=1000 stride=256, ts-ordered",
             "n_turns": skew_reader.count(),
             "lossless": lossless,
             "blocks_total": st["blocks_total"],

@@ -94,6 +94,7 @@ def synthesize_transcripts(
     words_per_turn: int = 40,
     replicate: int = 1,
     tail_vocab: int = 0,
+    tail_stride: int = 1,
 ) -> DataFrame:
     """Deterministically expand ``documents.parquet`` rows into multi-turn
     transcripts. Pure column arithmetic (no randomness, no driver loops):
@@ -114,6 +115,18 @@ def synthesize_transcripts(
       (every block is near-max for every term); the tail gives the
       realistic df skew that WAND-style bounds exploit, without any
       external data or randomness.
+    - ``tail_stride`` (default 1 = byte-identical to the plain
+      tail_vocab output): when > 1, the tail rank is computed from
+      ``doc_id DIV stride`` instead of ``doc_id``, so runs of
+      ``stride`` consecutive source docs share one tail term —
+      deterministic TOPICAL LOCALITY, the ingest-order clustering real
+      transcript corpora show (a topic burst arrives as consecutive
+      events). Combined with an event-time-ordered build
+      (``order_cols=("ts", ...)``) a tail term's postings then occupy
+      narrow doc-id ranges, the structure doc-range block bounds
+      (Block-Max WAND) exploit; with uniform residue spreading
+      (stride=1) every term's blocks span the whole doc space and
+      range-aware pruning is structurally starved regardless of df.
     """
     docs = spark.read.parquet(documents_path)
     if replicate > 1:
@@ -133,8 +146,12 @@ def synthesize_transcripts(
         " ", F.slice(words, 1, words_per_turn)
     )
     if tail_vocab > 0:
+        key = (
+            F.col("doc_id") if tail_stride <= 1
+            else F.floor(F.col("doc_id") / F.lit(tail_stride))
+        )
         tail_rank = F.floor(
-            F.lit(tail_vocab) / (F.lit(1) + F.col("doc_id") % tail_vocab)
+            F.lit(tail_vocab) / (F.lit(1) + key % tail_vocab)
         )
         turn_text = F.concat_ws(
             " ", turn_text, F.concat(F.lit("tail_"), tail_rank)
