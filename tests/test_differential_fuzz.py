@@ -596,3 +596,52 @@ def test_skewed_corpus_wand_fuzz(spark, tmp_path_factory):
             assert r["score"] == pytest.approx(want[r["doc_id"]][0],
                                                rel=1e-9), q
     assert pruned_any > 0, "no query pruned any block on the skewed corpus"
+
+
+def test_fleet_fuzz_matches_single_reader(fuzz, tmp_path_factory):
+    """Fleet coordinator over term-range shard views of the SAME random
+    index: every query shape (plain, phrase, mixed, filtered,
+    conjunctive) must be frame-identical through 2- and 3-shard fleets
+    to the single reader, and BM25 scores must agree with the
+    independent model — the fleet merge gets the full differential
+    treatment, not just fixed fixtures."""
+    from search_engine_spark.serving import FleetReader, make_term_shards
+
+    _, reader, model, rng, idx = fuzz
+    root = tmp_path_factory.mktemp("fleet_fuzz")
+    fleets = []
+    for n in (2, 3):
+        try:
+            dirs = make_term_shards(idx, str(root / f"s{n}"), n_shards=n)
+        except ValueError:
+            continue  # fewer postings files than shards — skip width
+    # (re-make: keep both widths when possible)
+        fleets.append(FleetReader(dirs, config=CFG))
+    assert fleets, "index had too few postings files to shard at all"
+
+    queries = gen_queries(rng, model)
+    for q in queries:
+        want = reader.search(q, max_count=25)
+        for fl in fleets:
+            assert fl.search(q, max_count=25).equals(want), q
+
+    ids = sorted(model.docs)
+    pool = [w for w in VOCAB if len(w) > 1]
+    for i in range(8):
+        q = " ".join(rng.sample(pool, rng.randint(1, 3)))
+        conj = i % 2 == 1
+        allowed = sorted(rng.sample(ids, 15)) if i % 4 == 2 else None
+        want_pdf = reader.search_bm25(
+            q, k=20, conjunctive=conj, allowed_ids=allowed
+        )
+        want = [tuple(t) for t in want_pdf.itertuples(index=False)]
+        model_scores = model.bm25(q, conjunctive=conj)
+        for fl in fleets:
+            got = [tuple(t) for t in fl.search_bm25(
+                q, k=20, conjunctive=conj, allowed_ids=allowed
+            ).itertuples(index=False)]
+            assert got == want, (q, conj, allowed is not None)
+            for d, score, _n in got:
+                assert score == pytest.approx(
+                    model_scores[d][0], rel=1e-9
+                ), (q, d)
